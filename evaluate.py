@@ -1,0 +1,76 @@
+"""Evaluate a checkpoint on the validation set.
+
+CLI parity target: reference evaluate.py:121-189 — loads a checkpoint
+and runs the requested metrics over val.zip. Unlike the reference
+(which reuses the training loop and executes one full training step
+before evaluating, SURVEY.md §3.2 — a quirk, fixed here), this is a
+pure evaluation pass.
+
+Example:
+  python evaluate.py --ckpt training-runs/00000-.../network-snapshot-000100 \
+      --data data/ads/val.zip --metrics layout_fid50k_val
+"""
+
+from __future__ import annotations
+
+import click
+
+from layoutdetr_tpu.config import EasyDict
+
+
+def parse_comma_separated_list(s):
+    if s is None or s.lower() == "none" or s == "":
+        return []
+    return s.split(",")
+
+
+@click.command()
+@click.option("--ckpt", required=True, help="Checkpoint directory (orbax)")
+@click.option("--data", required=True, help="Validation zip")
+@click.option("--metrics", type=parse_comma_separated_list,
+              default="layout_fid50k_val,overlap50k_alignment50k_layoutwise_iou50k_layoutwise_docsim50k_val",
+              show_default=True)
+@click.option("--batch", "batch_size", type=int, default=16, show_default=True)
+@click.option("--background-size", type=int, default=256, show_default=True)
+@click.option("--max-text-length", type=int, default=256, show_default=True)
+@click.option("--max-items", type=int, default=50000, show_default=True)
+@click.option("--layoutnet-ckpt", type=str, default=None,
+              help="Converted LayoutNet weights (pytree) for reference-scale layout-FID")
+@click.option("--seed", type=int, default=0, show_default=True)
+@click.option("--run-dir", type=str, default=".", show_default=True)
+def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
+         max_items, layoutnet_ckpt, seed, run_dir):
+    from layoutdetr_tpu.data.dataset import LayoutDataset
+    from layoutdetr_tpu.metrics import metric_main
+    from layoutdetr_tpu.models.generator import Generator, GeneratorConfig
+    from layoutdetr_tpu.utils.checkpoint import restore_checkpoint
+
+    dataset = LayoutDataset(data, background_size=background_size,
+                            max_text_length=max_text_length)
+    restored = restore_checkpoint(ckpt)
+    if isinstance(restored, dict) and "params_gema" in restored:
+        params = restored["params_gema"]
+    else:
+        params = restored
+    gcfg = GeneratorConfig(num_bbox_labels=dataset.num_bbox_labels,
+                           background_size=background_size,
+                           max_text_length=max_text_length)
+    g = Generator(gcfg)
+
+    layoutnet_params = restore_checkpoint(layoutnet_ckpt) if layoutnet_ckpt else None
+
+    for metric in metrics:
+        if not metric_main.is_valid_metric(metric):
+            raise click.ClickException(
+                f"unknown metric {metric}; valid: {metric_main.list_valid_metrics()}")
+        result = metric_main.calc_metric(
+            metric,
+            g_apply=g.apply, params=params, dataset=dataset, gcfg=gcfg,
+            layoutnet_params=layoutnet_params, batch=batch_size,
+            seed=seed, max_items=max_items,
+        )
+        metric_main.report_metric(result, run_dir=run_dir, snapshot_path=ckpt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,265 @@
+"""Runtime zip-backed layout dataset + infinite sampler + device feed.
+
+Parity target: training/dataset_layoutganpp.py:214-353 (LayoutDataset)
+and torch_utils/misc.py:114-145 (InfiniteSampler). The on-disk zip
+format is byte-compatible with the reference's ``dataset_tool.py``
+output (non_image.json + per-element PNGs), so artifacts are
+interchangeable between frameworks.
+
+TPU-native differences:
+- **Pre-tokenized text**: ``__getitem__`` returns fixed-shape int32
+  ``text_ids/text_mask/text_len`` instead of python strings (the
+  reference tokenizes inside the model forward — SURVEY.md §7.3).
+- **Lazy patches**: the reference decodes 9×256² + 9×1024² patch PNGs +
+  masks per sample, but the active models use ``bbox_patch`` only for
+  its *shape* (networks_detr.py:140; the im_rec loss is commented out,
+  loss.py:188-190). Patch decoding is opt-in (``load_patches=True``),
+  cutting per-sample host I/O by ~50×.
+- **NHWC** float32 backgrounds, ImageNet-normalized, resized with
+  PIL LANCZOS (what PIL.Image.ANTIALIAS aliased to in the reference).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import zipfile
+from typing import Iterator, Optional
+
+import numpy as np
+import PIL.Image
+
+from layoutdetr_tpu.data.tokenizer import LayoutTokenizer
+
+MAX_ELEMENTS = 9  # dataset_tool.py:180 filters to <=9; loader pads to 9
+RGB_MEAN = np.array([0.485, 0.456, 0.406], np.float32).reshape(1, 1, 3)
+RGB_STD = np.array([0.229, 0.224, 0.225], np.float32).reshape(1, 1, 3)
+
+
+def normalize_image(arr: np.ndarray) -> np.ndarray:
+    """uint8 HWC -> ImageNet-normalized float32 HWC."""
+    return (arr.astype(np.float32) / 255.0 - RGB_MEAN) / RGB_STD
+
+
+def denormalize_image(arr: np.ndarray) -> np.ndarray:
+    """float HWC -> uint8 HWC."""
+    x = (arr * RGB_STD + RGB_MEAN) * 255.0
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
+class LayoutDataset:
+    """Zip-backed dataset of (bboxes, labels, texts, background) samples."""
+
+    def __init__(
+        self,
+        path: str,
+        background_size: int = 256,
+        max_text_length: int = 256,
+        max_size: Optional[int] = None,
+        load_patches: bool = False,
+        load_background_orig: bool = False,
+        tokenizer: Optional[LayoutTokenizer] = None,
+        random_seed: int = 0,
+        use_native: Optional[bool] = None,
+    ):
+        if not path.endswith(".zip"):
+            raise IOError("Path must point to a zip")
+        self._path = path
+        self.background_size = background_size
+        self.load_patches = load_patches
+        self.load_background_orig = load_background_orig
+        self.tokenizer = tokenizer or LayoutTokenizer(max_length=max_text_length)
+        self._local = threading.local()
+        # Native C++ decode/resize/normalize path (native/fastdata.cpp);
+        # auto-enabled when the library builds, PIL otherwise.
+        if use_native is None:
+            from layoutdetr_tpu.data import native as _native
+
+            use_native = _native.available() and not load_background_orig
+        self.use_native = use_native
+
+        with self._zip().open("non_image.json") as f:
+            self._samples = json.load(f)["samples"]
+        self.num_bbox_labels = self._samples[0][1]["attr"]["num_bbox_labels"]
+        self.name = os.path.normpath(path).split(os.sep)[-3] if len(os.path.normpath(path).split(os.sep)) >= 3 else os.path.basename(path)
+
+        self._raw_idx = np.arange(len(self._samples), dtype=np.int64)
+        if max_size is not None and len(self._raw_idx) > max_size:
+            np.random.RandomState(random_seed).shuffle(self._raw_idx)
+            self._raw_idx = np.sort(self._raw_idx[:max_size])
+
+    # Per-thread zip handles: zipfile is not thread-safe and the feeder
+    # thread must not fight __getitem__ calls from the main thread.
+    def _zip(self) -> zipfile.ZipFile:
+        zf = getattr(self._local, "zipfile", None)
+        if zf is None:
+            zf = zipfile.ZipFile(self._path)
+            self._local.zipfile = zf
+        return zf
+
+    def __len__(self):
+        return len(self._raw_idx)
+
+    def _read_image(self, fname: str) -> np.ndarray:
+        with self._zip().open(fname) as f:
+            return np.array(PIL.Image.open(f))
+
+    def __getitem__(self, idx: int) -> dict:
+        sample = self._samples[int(self._raw_idx[idx])]
+        base_fname, meta = sample[0], sample[1]
+        n_real = len(meta["labels"])
+
+        bboxes = np.zeros((MAX_ELEMENTS, 4), np.float32)
+        bboxes[:n_real] = np.asarray(meta["bboxes"], np.float32)
+        labels = np.zeros((MAX_ELEMENTS,), np.int64)
+        labels[:n_real] = np.asarray(meta["labels"], np.int64)
+        mask = np.arange(MAX_ELEMENTS) < n_real  # True = valid
+        texts = list(meta["texts"]) + [""] * (MAX_ELEMENTS - n_real)
+
+        text_ids, text_mask, text_len = self.tokenizer.encode_batch(texts)
+
+        bg_orig = None
+        if self.use_native:
+            from layoutdetr_tpu.data import native as _native
+
+            with self._zip().open(base_fname + "_background_orig.png") as f:
+                background = _native.load_background(f.read(), self.background_size)
+        else:
+            with self._zip().open(base_fname + "_background_orig.png") as f:
+                bg_img = PIL.Image.open(f)
+                bg = np.array(bg_img.resize((self.background_size,) * 2, PIL.Image.LANCZOS))
+                bg_orig = np.array(bg_img) if self.load_background_orig else None
+            background = normalize_image(bg)
+
+        out = dict(
+            name=meta["attr"]["name"],
+            W_page=meta["attr"]["width"],
+            H_page=meta["attr"]["height"],
+            bboxes=bboxes,
+            labels=labels,
+            texts=texts,
+            text_ids=text_ids,
+            text_mask=text_mask,
+            text_len=text_len,
+            mask=mask,
+            padding_mask=~mask,
+            background=background,
+        )
+        if bg_orig is not None:
+            out["background_orig"] = normalize_image(bg_orig)
+        if self.load_patches:
+            out.update(self._load_patches(base_fname, n_real))
+        return out
+
+    def _load_patches(self, base_fname: str, n_real: int) -> dict:
+        """Aspect-preserving 256² centered patches + originals + masks
+        (dataset_layoutganpp.py:281-328). NHWC."""
+        patches = np.zeros((MAX_ELEMENTS, 256, 256, 3), np.float32)
+        patches_orig = None
+        patch_masks = None
+        for i in range(n_real):
+            with self._zip().open(f"{base_fname}_{i}_patch.png") as f:
+                img = PIL.Image.open(f)
+                w, h = img.width, img.height
+                if w > h:
+                    w2, h2 = 256, int(h / w * 256.0) // 2 * 2
+                else:
+                    h2, w2 = 256, int(w / h * 256.0) // 2 * 2
+                arr = normalize_image(np.array(img.resize((w2, h2), PIL.Image.LANCZOS)))
+            patches[i, 128 - h2 // 2:128 + h2 // 2, 128 - w2 // 2:128 + w2 // 2] = arr
+
+            orig = self._read_image(f"{base_fname}_{i}_patch_orig.png")
+            m = self._read_image(f"{base_fname}_{i}_patch_mask.png")
+            if patches_orig is None:
+                patches_orig = np.zeros((MAX_ELEMENTS,) + orig.shape, np.float32)
+                patch_masks = np.zeros((MAX_ELEMENTS,) + m.shape + (1,), np.float32)
+            patches_orig[i] = normalize_image(orig)
+            patch_masks[i] = (m.astype(np.float32) / 255.0)[..., None]
+        if patches_orig is None:
+            patches_orig = np.zeros((MAX_ELEMENTS, 1024, 1024, 3), np.float32)
+            patch_masks = np.zeros((MAX_ELEMENTS, 1024, 1024, 1), np.float32)
+        return dict(patches=patches, patches_orig=patches_orig, patch_masks=patch_masks)
+
+    # ------------------------------------------------------------------
+    def collate(self, indices) -> dict:
+        """Stack samples into a batch of device-ready arrays (no strings)."""
+        items = [self[i] for i in indices]
+        batch = {}
+        for key in ("bboxes", "labels", "text_ids", "text_mask", "text_len",
+                    "mask", "padding_mask", "background"):
+            batch[key] = np.stack([it[key] for it in items])
+        if self.load_patches:
+            for key in ("patches", "patches_orig", "patch_masks"):
+                batch[key] = np.stack([it[key] for it in items])
+        return batch
+
+
+class InfiniteSampler:
+    """Rank-strided shuffled infinite index stream with window shuffle.
+
+    Parity: torch_utils/misc.py:114-145. Deterministic per (seed, rank);
+    each rank sees indices ``rank, rank+num_replicas, ...`` of an
+    epoch-shuffled order with a sliding-window swap.
+    """
+
+    def __init__(self, dataset_size: int, rank: int = 0, num_replicas: int = 1,
+                 shuffle: bool = True, seed: int = 0, window_size: float = 0.5):
+        assert dataset_size > 0
+        self.dataset_size = dataset_size
+        self.rank = rank
+        self.num_replicas = num_replicas
+        self.shuffle = shuffle
+        self.seed = seed
+        self.window_size = window_size
+
+    def __iter__(self) -> Iterator[int]:
+        order = np.arange(self.dataset_size)
+        rnd = None
+        window = 0
+        if self.shuffle:
+            rnd = np.random.RandomState(self.seed)
+            rnd.shuffle(order)
+            window = int(np.rint(order.size * self.window_size))
+
+        idx = 0
+        while True:
+            i = idx % order.size
+            if idx % self.num_replicas == self.rank:
+                yield int(order[i])
+            if window >= 2:
+                j = (i - rnd.randint(window)) % order.size
+                order[i], order[j] = order[j], order[i]
+            idx += 1
+
+
+class PrefetchLoader:
+    """Single background thread prefetching collated batches.
+
+    The TPU analogue of the reference's 8-worker torch DataLoader
+    (training_loop.py:113-114): overlap host decode/tokenize with device
+    steps. One thread suffices on this host and keeps ordering
+    deterministic.
+    """
+
+    def __init__(self, dataset: LayoutDataset, batch_size: int, sampler: InfiniteSampler,
+                 queue_depth: int = 2):
+        import queue
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self._it = iter(sampler)
+        self._q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            idxs = [next(self._it) for _ in range(self.batch_size)]
+            self._q.put(self.dataset.collate(idxs))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> dict:
+        return self._q.get()

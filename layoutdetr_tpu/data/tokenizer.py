@@ -1,0 +1,107 @@
+"""Text tokenization for the layout models — host-side, ahead of time.
+
+The reference tokenizes *inside every model forward* on CPU
+(networks_detr.py:145, 289 via blip.init_tokenizer: BertTokenizer +
+'[DEC]'/'[ENC]' special tokens, blip.py:190-195), which serializes the
+GPU pipeline. Here tokenization happens once in the data pipeline and
+models consume fixed-shape ``[B, N, T]`` id/mask tensors.
+
+Backends:
+- **HF WordPiece** when a local ``bert-base-uncased`` vocab is available
+  (checked in ``pretrained/bert-base-uncased`` and the HF cache);
+  bit-identical ids to the reference.
+- **Hash WordPiece fallback** (offline-safe): lowercase + punctuation
+  split + whole-word hashing into the same 30522-id space with the same
+  special-token layout (PAD=0, UNK=100, CLS=101, SEP=102, [DEC]=30522,
+  [ENC]=30523). For from-scratch training this is equivalent — the
+  embeddings are learned — and the id-space layout keeps checkpoints
+  structurally compatible with converted HF weights.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from typing import List, Sequence
+
+import numpy as np
+
+PAD_ID = 0
+UNK_ID = 100
+CLS_ID = 101
+SEP_ID = 102
+BASE_VOCAB = 30522
+DEC_ID = 30522  # bos for the text decoder ([DEC], blip.py:192)
+ENC_ID = 30523  # [ENC]
+VOCAB_SIZE = 30524
+
+_WORD_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]", re.IGNORECASE)
+# ids 0-999 are BERT's unused/special band; hash into [999, 30522).
+_HASH_LO, _HASH_HI = 999, BASE_VOCAB
+
+
+def _hash_token(tok: str) -> int:
+    h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:4], "little")
+    return _HASH_LO + (h % (_HASH_HI - _HASH_LO))
+
+
+class LayoutTokenizer:
+    """Tokenizer with the reference's special-token layout.
+
+    encode_batch(texts [B][N] or flat [M]) -> ids, mask, lengths (int32).
+    """
+
+    def __init__(self, max_length: int = 256, vocab_dir: str | None = None):
+        self.max_length = max_length
+        self.bos_token_id = DEC_ID
+        self.pad_token_id = PAD_ID
+        self.vocab_size = VOCAB_SIZE
+        self._hf = None
+        vocab_dir = vocab_dir or os.environ.get(
+            "LAYOUTDETR_BERT_VOCAB", os.path.join("pretrained", "bert-base-uncased")
+        )
+        vocab_file = os.path.join(vocab_dir, "vocab.txt")
+        if os.path.isfile(vocab_file):
+            try:
+                from transformers import BertTokenizerFast
+
+                self._hf = BertTokenizerFast(vocab_file=vocab_file)
+                self._hf.add_special_tokens({"additional_special_tokens": ["[DEC]", "[ENC]"]})
+            except Exception:
+                self._hf = None
+
+    @property
+    def backend(self) -> str:
+        return "wordpiece" if self._hf is not None else "hash"
+
+    def _encode_one(self, text: str) -> List[int]:
+        if self._hf is not None:
+            return self._hf.encode(text, truncation=True, max_length=self.max_length)
+        toks = [_hash_token(t.lower()) for t in _WORD_RE.findall(text)]
+        toks = toks[: self.max_length - 2]
+        return [CLS_ID] + toks + [SEP_ID]
+
+    def encode_batch(self, texts: Sequence[str]):
+        """Flat list of strings -> (ids [M, T], mask [M, T], char_len [M])."""
+        m = len(texts)
+        t = self.max_length
+        ids = np.full((m, t), PAD_ID, np.int32)
+        mask = np.zeros((m, t), np.int32)
+        lens = np.zeros((m,), np.int32)
+        for i, s in enumerate(texts):
+            enc = self._encode_one(s)
+            ids[i, : len(enc)] = enc
+            mask[i, : len(enc)] = 1
+            # Reference uses raw character length as an embedding index
+            # (networks_detr.py:149); clip to table size.
+            lens[i] = min(len(s), self.max_length - 1)
+        return ids, mask, lens
+
+    def encode_layouts(self, texts_per_layout: Sequence[Sequence[str]]):
+        """[B][N] strings -> (ids [B, N, T], mask [B, N, T], len [B, N])."""
+        b = len(texts_per_layout)
+        n = len(texts_per_layout[0]) if b else 0
+        flat = [s for row in texts_per_layout for s in row]
+        ids, mask, lens = self.encode_batch(flat)
+        return ids.reshape(b, n, -1), mask.reshape(b, n, -1), lens.reshape(b, n)

@@ -1,0 +1,94 @@
+"""Layout-FID: Fréchet distance on LayoutNet CLS features.
+
+Parity target: metrics/layout_frechet_inception_distance.py:20-39 +
+metrics/metric_utils_layout.py:199-289 + metric_layoutnet.py:26-63 —
+LayoutNet features of (bbox, label) for real val layouts vs generated
+layouts, Gaussian-fit + Fréchet.
+
+Detector weights: converted from the reference's
+``pretrained/layoutnet_<dataset>.pth.tar`` via utils/torch_convert when
+present (opts.layoutnet_params); otherwise a seed-0 random LayoutNet is
+used with a warning — distances remain *internally comparable* across
+checkpoints of this framework (random-projection features are a valid
+discriminative basis) but are not numerically the reference's scale.
+The label remapping for ads/CGL datasets mirrors
+networks_layoutnet.py:51-61 (applied when the dataset name matches,
+layout_frechet_inception_distance.py:21-22).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+from layoutdetr_tpu.metrics.frechet import frechet_distance, gaussian_stats
+
+
+def _layoutnet(opts):
+    from layoutdetr_tpu.models.layoutnet import LayoutNet
+
+    name = getattr(opts.dataset, "name", "")
+    num_label = 13 if any(k in name for k in (
+        "rico", "enrico", "clay", "ads_banner_collection",
+        "AMT_uploaded_ads_banners", "cgl_dataset")) else 5
+    net = LayoutNet(num_label)
+    params = opts.get("layoutnet_params")
+    if params is None:
+        print("[layout_fid] WARNING: no pretrained LayoutNet weights; "
+              "using seed-0 random features (self-consistent, not reference-scale)")
+        bbox = np.zeros((1, 9, 4), np.float32)
+        label = np.zeros((1, 9), np.int64)
+        pad = np.zeros((1, 9), bool)
+        params = net.init(jax.random.PRNGKey(0), bbox, label, pad)
+    remap = dict(
+        label_idx_replace=any(k in name for k in ("ads_banner_collection", "AMT_uploaded_ads_banners")),
+        label_idx_replace_2="cgl_dataset" in name,
+    )
+
+    @jax.jit
+    def features(bbox, label, padding_mask):
+        return net.apply(params, bbox, label, padding_mask, **remap,
+                         method=net.extract_features)
+
+    return features
+
+
+def generate_layouts(opts, indices, batch: int = 16):
+    """Run the EMA generator over dataset items; yields (bbox_fake, batch)."""
+    dataset = opts.dataset
+    g_apply = jax.jit(opts.g_apply)
+    rng = jax.random.PRNGKey(opts.get("seed", 0))
+    for i in range(0, len(indices), batch):
+        idxs = indices[i:i + batch]
+        b = dataset.collate(idxs)
+        rng, zk = jax.random.split(rng)
+        z = jax.random.normal(zk, (len(idxs), opts.gcfg.max_elements, opts.gcfg.z_dim))
+        bbox_fake = g_apply(
+            opts.params, z=z, bbox_class=b["labels"], bbox_real=b["bboxes"],
+            text_ids=b["text_ids"], text_mask=b["text_mask"], text_len=b["text_len"],
+            padding_mask=b["padding_mask"], background=b["background"],
+        )
+        yield np.asarray(bbox_fake), b
+
+
+def compute_layout_fid(opts, max_items: int = 50000) -> float:
+    dataset = opts.dataset
+    feat_fn = _layoutnet(opts)
+    n = min(len(dataset), max_items)
+    indices = list(range(n))
+
+    real_feats = []
+    for i in range(0, n, 64):
+        b = dataset.collate(indices[i:i + 64])
+        real_feats.append(np.asarray(feat_fn(b["bboxes"], b["labels"], b["padding_mask"])))
+    real = np.concatenate(real_feats)
+
+    fake_feats = []
+    for bbox_fake, b in generate_layouts(opts, indices, batch=opts.get("batch", 16)):
+        fake_feats.append(np.asarray(feat_fn(bbox_fake, b["labels"], b["padding_mask"])))
+    fake = np.concatenate(fake_feats)
+
+    mu_f, sig_f = gaussian_stats(fake)
+    mu_r, sig_r = gaussian_stats(real)
+    return frechet_distance(mu_f, sig_f, mu_r, sig_r)

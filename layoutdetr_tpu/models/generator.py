@@ -1,0 +1,193 @@
+"""LayoutDETR Generator: DETR-style conditional layout generator.
+
+Parity target: training/networks_detr.py:65-187.
+
+Inputs are fully tensorized — the reference runs a CPU tokenizer inside
+``forward`` (networks_detr.py:145), serializing every training step;
+here text arrives pre-tokenized from the data pipeline as fixed-shape
+``[B, N, T]`` ids/masks (SURVEY.md §7 hard part 3), so the whole
+forward jits into one XLA program.
+
+Defaults mirror train.py:168-183 / networks_detr.py:66-71:
+z_dim=4, hidden_dim=256, BERT 768 wide / 4 heads / 12 encoder layers /
+2 decoder layers, max_text_length=256, N=9 elements.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from layoutdetr_tpu.models.bert import BertConfig, BertLMHeadModel, BertModel
+from layoutdetr_tpu.models.detr_transformer import Transformer
+from layoutdetr_tpu.models.layers import Dense, MLP
+from layoutdetr_tpu.models.position_encoding import PositionEmbeddingSine
+from layoutdetr_tpu.models.resnet import ResNet50
+from layoutdetr_tpu.models.stylegan2 import normalize_2nd_moment
+from layoutdetr_tpu.metrics.layout_metrics import masked_cross_entropy, masked_mse
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneratorConfig:
+    z_dim: int = 4
+    num_bbox_labels: int = 8
+    max_elements: int = 9
+    hidden_dim: int = 256
+    bert_f_dim: int = 768
+    bert_num_heads: int = 4
+    bert_num_encoder_layers: int = 12
+    bert_num_decoder_layers: int = 2
+    im_f_dim: int = 512
+    max_text_length: int = 256
+    vocab_size: int = 30524
+    bos_token_id: int = 30522
+    pad_token_id: int = 0
+    nhead: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    background_size: int = 256
+    backbone: str = "resnet50"  # or "vit" (networks_vit alternative)
+
+    def encoder_bert_config(self):
+        return BertConfig(
+            vocab_size=self.vocab_size,
+            num_hidden_layers=self.bert_num_encoder_layers,
+            num_attention_heads=self.bert_num_heads,
+            encoder_width=self.bert_f_dim,
+        )
+
+    def decoder_bert_config(self):
+        return BertConfig(
+            vocab_size=self.vocab_size,
+            num_hidden_layers=self.bert_num_decoder_layers,
+            num_attention_heads=self.bert_num_heads,
+            encoder_width=self.im_f_dim,
+        )
+
+
+def _image_backbone(cfg: "GeneratorConfig", dtype):
+    """ResNet50 (default) or ViT backbone, both named 'backbone'."""
+    if cfg.backbone == "vit":
+        from layoutdetr_tpu.models.vit import VisionTransformer
+
+        return VisionTransformer(dtype=dtype, name="backbone")
+    return ResNet50(dtype=dtype, name="backbone")
+
+
+class TextEncoder(nn.Module):
+    """Per-element BERT CLS features, batched over B*N sequences at once.
+
+    Parity: networks_detr.py:145-147 (text_encoder mode='text', CLS slot).
+    """
+
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, text_ids, text_mask, deterministic=True):
+        b, n, t = text_ids.shape
+        hidden = BertModel(self.config, dtype=self.dtype, name="bert")(
+            text_ids.reshape(b * n, t), text_mask.reshape(b * n, t),
+            mode="text", deterministic=deterministic,
+        )
+        return hidden[:, 0, :].reshape(b, n, -1)
+
+
+class Generator(nn.Module):
+    """z + labels + texts + background -> bboxes (+ reconstruction heads)."""
+
+    cfg: GeneratorConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, bbox_class, bbox_real, text_ids, text_mask, text_len,
+                 padding_mask, background, reconst=False, deterministic=True):
+        """
+        z: [B, N, z_dim] noise; bbox_class: [B, N] int; bbox_real: [B, N, 4]
+        (unused in the forward path, parity with reference signature);
+        text_ids/text_mask: [B, N, T]; text_len: [B, N] int (character
+        lengths, clipped to max_text_length-1); padding_mask: [B, N] bool
+        True = padded; background: [B, S, S, 3] ImageNet-normalized.
+        """
+        cfg = self.cfg
+        del bbox_real
+        b, n = bbox_class.shape
+
+        # --- Background features (networks_detr.py:136-138, 154) ---
+        bg_feat = _image_backbone(cfg, self.dtype)(background)
+        pos = PositionEmbeddingSine(num_pos_feats=cfg.hidden_dim // 2, name="pos_embed")(bg_feat)
+        bg_proj = Dense(cfg.hidden_dim, dtype=self.dtype, name="input_proj")(bg_feat)
+
+        # --- Element queries (networks_detr.py:140-152) ---
+        z0 = normalize_2nd_moment(z.reshape(b, -1).astype(jnp.float32))  # [B, N*z_dim]
+        zf = Dense(cfg.bert_f_dim, dtype=self.dtype, name="fc_z")(z0)
+        zf = jnp.broadcast_to(zf[:, None, :], (b, n, cfg.bert_f_dim))
+
+        emb_label = self.param(
+            "emb_label", nn.initializers.normal(1.0), (cfg.num_bbox_labels, cfg.bert_f_dim), jnp.float32
+        )
+        lf = jnp.take(emb_label, bbox_class, axis=0).astype(self.dtype)
+
+        text_feat = TextEncoder(cfg.encoder_bert_config(), dtype=self.dtype, name="text_encoder")(
+            text_ids, text_mask, deterministic
+        )
+
+        enc_text_len = self.param(
+            "enc_text_len", nn.initializers.normal(1.0), (cfg.max_text_length, cfg.bert_f_dim), jnp.float32
+        )
+        tlf = jnp.take(enc_text_len, jnp.clip(text_len, 0, cfg.max_text_length - 1), axis=0).astype(self.dtype)
+
+        x = jnp.concatenate([zf, lf, text_feat, tlf], axis=-1)
+        x = nn.relu(MLP(cfg.bert_f_dim, cfg.hidden_dim, 3, dtype=self.dtype, name="fc_in")(x))
+
+        # --- DETR transformer + bbox head (networks_detr.py:154-155) ---
+        hs, _ = Transformer(
+            d_model=cfg.hidden_dim, nhead=cfg.nhead,
+            num_encoder_layers=cfg.num_encoder_layers,
+            num_decoder_layers=cfg.num_decoder_layers,
+            dim_feedforward=cfg.dim_feedforward, dropout=cfg.dropout,
+            dtype=self.dtype, name="transformer",
+        )(bg_proj, None, pos, x, padding_mask, deterministic=deterministic)
+        bbox_fake = nn.sigmoid(
+            MLP(cfg.hidden_dim, 4, 3, dtype=self.dtype, name="bbox_embed")(hs).astype(jnp.float32)
+        )
+
+        if not reconst:
+            return bbox_fake
+
+        valid = ~padding_mask
+
+        # --- Reconstruction heads (networks_detr.py:160-187) ---
+        z_rec = Dense(cfg.z_dim * cfg.max_elements, dtype=self.dtype, name="fc_z_rec")(hs)
+        z_tgt = jnp.broadcast_to(z0[:, None, :], z_rec.shape)
+        loss_z = masked_mse(z_rec.astype(jnp.float32), z_tgt, valid)
+
+        logit_cls = Dense(cfg.num_bbox_labels, dtype=self.dtype, name="fc_out_cls")(hs)
+
+        # Text decoder: mode='text' skips cross-attention, making this an
+        # unconditional LM loss — the reference's (preserved) quirk
+        # (networks_detr.py:180, med.py:361). Pass mode='multimodal' to
+        # actually condition on the per-element feature.
+        t = text_ids.shape[-1]
+        dec_ids = jnp.asarray(text_ids).at[:, :, 0].set(cfg.bos_token_id).reshape(b * n, t)
+        dec_targets = jnp.where(dec_ids == cfg.pad_token_id, -100, dec_ids)
+        enc_states = hs.reshape(b * n, 1, cfg.hidden_dim)
+        _, loss_lm = BertLMHeadModel(cfg.decoder_bert_config(), dtype=self.dtype, name="text_decoder")(
+            dec_ids, text_mask.reshape(b * n, t),
+            encoder_hidden_states=enc_states,
+            encoder_attention_mask=jnp.ones((b * n, 1), jnp.int32),
+            labels=dec_targets, row_mask=valid.reshape(b * n),
+            mode="text", deterministic=deterministic,
+        )
+
+        text_len_rec = Dense(cfg.max_text_length, dtype=self.dtype, name="fc_text_len_rec")(hs)
+        loss_text_len = masked_cross_entropy(
+            text_len_rec, jnp.clip(text_len, 0, cfg.max_text_length - 1), valid
+        )
+
+        return bbox_fake, loss_z, logit_cls, loss_lm, loss_text_len

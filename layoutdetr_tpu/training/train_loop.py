@@ -1,0 +1,236 @@
+"""Host-side training loop: data feed, jitted steps, ticks, snapshots.
+
+Parity target: training/training_loop.py:63-469 — same observable
+behavior (tick cadence, status line fields, stats.jsonl, snapshots,
+metric hooks, abort/progress callbacks) built around a fundamentally
+different execution model: ONE jitted SPMD step per iteration
+(G update + D update + EMA fused, see train_step.py) over a device
+mesh, instead of per-phase eager passes with hand-rolled collectives.
+
+Differences worth noting:
+- optimizer state and EMA live in one checkpointable pytree;
+- stats come back as step outputs (fetched every ``stats_interval``
+  steps to keep the device pipeline async);
+- the ADA controller (training_loop.py:334-338) adjusts augment
+  probability on host from the 'Loss/signs/real' stat and feeds it to
+  the augment pipeline as a plain scalar input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from layoutdetr_tpu.config import EasyDict
+from layoutdetr_tpu.data.dataset import InfiniteSampler, LayoutDataset, PrefetchLoader
+from layoutdetr_tpu.models.discriminator import Discriminator
+from layoutdetr_tpu.models.generator import Generator, GeneratorConfig
+from layoutdetr_tpu.parallel.mesh import data_sharding, make_mesh, replicate, shard_batch
+from layoutdetr_tpu.training.loss import LossWeights
+from layoutdetr_tpu.training.optimizers import (
+    D_FROZEN_SUBSTRINGS,
+    G_FROZEN_SUBSTRINGS,
+    build_optimizer,
+)
+from layoutdetr_tpu.training.train_step import GANTrainState, make_train_step
+from layoutdetr_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from layoutdetr_tpu.utils.logging import StatsJsonlWriter, TensorboardWriter
+from layoutdetr_tpu.utils.stats import Collector
+
+
+def init_models(gcfg: GeneratorConfig, dataset_sample: dict, batch_gpu: int, seed: int = 0,
+                dtype=None):
+    """Build G/D modules and init params from one example batch."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    g = Generator(gcfg, dtype=dtype)
+    d = Discriminator(gcfg, dtype=dtype)
+
+    def rep(x):
+        return np.repeat(np.asarray(x)[None], batch_gpu, axis=0)
+
+    dummy = {k: rep(dataset_sample[k]) for k in
+             ("labels", "text_ids", "text_mask", "text_len", "background")}
+    dummy["padding_mask"] = rep(dataset_sample["padding_mask"])
+    z = np.zeros((batch_gpu, gcfg.max_elements, gcfg.z_dim), np.float32)
+    bbox = rep(dataset_sample["bboxes"])
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    params_g = g.init(
+        {"params": k1, "dropout": k1, "noise": k1},
+        z=z, bbox_real=bbox, bbox_class=dummy["labels"], text_ids=dummy["text_ids"],
+        text_mask=dummy["text_mask"], text_len=dummy["text_len"],
+        padding_mask=dummy["padding_mask"], background=dummy["background"],
+        reconst=True,
+    )
+    params_d = d.init(
+        {"params": k2, "dropout": k2, "noise": k2},
+        bbox=bbox, bbox_class=dummy["labels"], text_ids=dummy["text_ids"],
+        text_mask=dummy["text_mask"], text_len=dummy["text_len"],
+        padding_mask=dummy["padding_mask"], background=dummy["background"],
+        reconst=True,
+    )
+    return g, d, params_g, params_d
+
+
+def training_loop(
+    run_dir: str = ".",
+    data: str = "",
+    gcfg: GeneratorConfig = GeneratorConfig(),
+    loss_weights: LossWeights = LossWeights(),
+    batch_size: int = 16,
+    glr: float = 1e-5,
+    dlr: float = 1e-5,
+    g_reg_interval: Optional[int] = 4,
+    d_reg_interval: Optional[int] = 16,
+    total_kimg: int = 25000,
+    kimg_per_tick: int = 4,
+    network_snapshot_ticks: int = 50,
+    random_seed: int = 0,
+    ema_rampup: Optional[float] = 0.05,
+    stats_interval: int = 8,
+    resume: Optional[str] = None,
+    resume_kimg: int = 0,
+    metrics_fn: Optional[Callable] = None,
+    abort_fn: Optional[Callable] = None,
+    progress_fn: Optional[Callable] = None,
+    max_steps: Optional[int] = None,
+    dtype=None,
+    aug: str = "noaug",
+    aug_p: float = 0.2,
+    ada_target: Optional[float] = None,
+):
+    """Run GAN training. Returns the final GANTrainState (host copy)."""
+    start_time = time.time()
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    assert batch_size % n_dev == 0, "batch must divide the data-parallel mesh"
+    is_chief = jax.process_index() == 0
+
+    dataset = LayoutDataset(data, background_size=gcfg.background_size,
+                            max_text_length=gcfg.max_text_length)
+    sampler = InfiniteSampler(len(dataset), rank=jax.process_index(),
+                              num_replicas=jax.process_count(), seed=random_seed)
+    loader = PrefetchLoader(dataset, batch_size // jax.process_count(), sampler)
+
+    if is_chief:
+        print(f"Dataset: {len(dataset)} samples, {dataset.num_bbox_labels} labels")
+        print(f"Mesh: {n_dev} devices x {jax.process_count()} processes")
+
+    g, d, params_g, params_d = init_models(gcfg, dataset[0], batch_size // n_dev, random_seed,
+                                           dtype=dtype)
+    tx_g = build_optimizer(params_g, lr=glr, reg_interval=g_reg_interval,
+                           frozen_substrings=G_FROZEN_SUBSTRINGS)
+    tx_d = build_optimizer(params_d, lr=dlr, reg_interval=d_reg_interval,
+                           frozen_substrings=D_FROZEN_SUBSTRINGS)
+    state = GANTrainState.create(params_g, params_d, tx_g, tx_d)
+    if resume:
+        state = restore_checkpoint(resume, target=state)
+        if is_chief:
+            print(f"Resumed from {resume}")
+    state = replicate(state, mesh)
+
+    step_fn = jax.jit(
+        make_train_step(
+            g.apply, d.apply, tx_g, tx_d, weights=loss_weights,
+            batch_size=batch_size, ema_rampup=ema_rampup,
+            z_dim=gcfg.z_dim, max_elements=gcfg.max_elements,
+        ),
+        donate_argnums=(0,),
+    )
+
+    collector = Collector()
+    jsonl = StatsJsonlWriter(os.path.join(run_dir, "stats.jsonl")) if is_chief else None
+    tb = TensorboardWriter(run_dir) if is_chief else None
+
+    cur_nimg = resume_kimg * 1000
+    cur_tick = 0
+    tick_start_nimg = cur_nimg
+    tick_start_time = time.time()
+    rng = jax.random.PRNGKey(random_seed)
+    batch_idx = 0
+    pending_stats = None
+
+    # ADA controller (training_loop.py:165-171, 334-338): host-adjusted
+    # augment probability fed into the jitted step as a scalar.
+    ada = None
+    cur_aug_p = 0.0
+    if aug == "ada":
+        from layoutdetr_tpu.training.augment import AdaController
+
+        ada = AdaController(target=ada_target or 0.6, initial_p=0.0)
+        cur_aug_p = ada.p
+    elif aug == "fixed":
+        cur_aug_p = aug_p
+
+    while True:
+        host_batch = next(loader)
+        if aug != "noaug":
+            host_batch["aug_p"] = np.float32(cur_aug_p)
+        batch = shard_batch(host_batch, mesh)
+        rng, step_rng = jax.random.split(rng)
+        state, stats = step_fn(state, batch, step_rng)
+        if batch_idx % stats_interval == 0:
+            if pending_stats is not None:
+                collector.report_dict(pending_stats)
+            pending_stats = stats
+            if ada is not None:
+                cur_aug_p = ada.update(batch_idx, batch_size,
+                                       float(stats["Loss/signs/real"]))
+        cur_nimg += batch_size
+        batch_idx += 1
+
+        done = cur_nimg >= total_kimg * 1000 or (max_steps is not None and batch_idx >= max_steps)
+        if (not done) and (cur_tick != 0) and (cur_nimg < tick_start_nimg + kimg_per_tick * 1000):
+            continue
+
+        # --- Tick (training_loop.py:341-452) ---
+        if pending_stats is not None:
+            collector.report_dict(pending_stats)
+            pending_stats = None
+        collector.update()
+        tick_end_time = time.time()
+        if is_chief:
+            fields = [
+                f"tick {cur_tick:<5d}",
+                f"kimg {cur_nimg / 1e3:<8.1f}",
+                f"time {tick_end_time - start_time:<12.1f}",
+                f"sec/tick {tick_end_time - tick_start_time:<7.1f}",
+                f"sec/kimg {(tick_end_time - tick_start_time) / max((cur_nimg - tick_start_nimg) / 1e3, 1e-8):<7.2f}",
+            ]
+            print(" ".join(fields))
+            if jsonl is not None:
+                jsonl.write(collector.as_dict(), extra={"kimg": cur_nimg / 1e3, "tick": cur_tick})
+            if tb is not None:
+                for name in collector.names():
+                    tb.scalar(name, collector.mean(name), cur_nimg)
+                tb.flush()
+
+        if progress_fn is not None:
+            progress_fn(cur_nimg // 1000, total_kimg)
+        if abort_fn is not None and abort_fn():
+            done = True
+
+        if is_chief and network_snapshot_ticks is not None and (
+            done or cur_tick % network_snapshot_ticks == 0
+        ):
+            snap_path = os.path.join(run_dir, f"network-snapshot-{cur_nimg // 1000:06d}")
+            save_checkpoint(snap_path, state)
+            if metrics_fn is not None:
+                metrics_fn(state, snap_path, cur_nimg)
+
+        cur_tick += 1
+        tick_start_nimg = cur_nimg
+        tick_start_time = time.time()
+        if done:
+            break
+
+    if is_chief:
+        print("Training done.")
+    return jax.device_get(state)

@@ -1,0 +1,130 @@
+"""Jitted GAN training steps: Gmain + Dmain + EMA in one XLA program.
+
+TPU-native reshaping of the reference's phase machinery
+(training_loop.py:274-332): instead of per-phase Python loops with
+``requires_grad_`` toggling, grad-accum microbatches, a flattened
+cross-rank all_reduce, and a separate EMA pass, the whole iteration —
+G gradient/update, D gradient/update, EMA lerp — is one jitted function
+over a sharded batch. Data parallelism is implicit: params/opt-state are
+replicated, the batch is 'data'-sharded, and XLA emits the psum for
+gradients (replacing training_loop.py:305-312). The reference's
+per-grad ``nan_to_num`` sanitization is reproduced on the gradient
+pytrees.
+
+Lazy-regularization phases (Gpl/Greg, Dr1/Dreg) are separate jitted
+steps invoked on their intervals by the host loop — off by default
+(pl_weight=0, r1_gamma=0), matching loss.py:77-80.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from layoutdetr_tpu.training.loss import LossWeights, d_main_loss, g_main_loss
+
+
+@flax.struct.dataclass
+class GANTrainState:
+    params_g: Any
+    params_d: Any
+    params_gema: Any
+    opt_state_g: Any
+    opt_state_d: Any
+    pl_mean: jnp.ndarray
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, params_g, params_d, tx_g, tx_d):
+        return cls(
+            params_g=params_g,
+            params_d=params_d,
+            params_gema=jax.tree.map(jnp.copy, params_g),
+            opt_state_g=tx_g.init(params_g),
+            opt_state_d=tx_d.init(params_d),
+            pl_mean=jnp.zeros(()),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+def _sanitize(grads):
+    """nan_to_num on every grad leaf (training_loop.py:309 parity)."""
+    return jax.tree.map(lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), grads)
+
+
+def ema_beta(batch_size: int, ema_kimg: float, cur_nimg, ema_rampup: Optional[float] = 0.05):
+    """EMA half-life schedule (training_loop.py:320-324)."""
+    ema_nimg = ema_kimg * 1000.0
+    if ema_rampup is not None:
+        ema_nimg = jnp.minimum(ema_nimg, cur_nimg * ema_rampup)
+    return 0.5 ** (batch_size / jnp.maximum(ema_nimg, 1e-8))
+
+
+def make_train_step(
+    g_apply: Callable,
+    d_apply: Callable,
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    weights: LossWeights = LossWeights(),
+    batch_size: int = 16,
+    ema_kimg: Optional[float] = None,
+    ema_rampup: Optional[float] = 0.05,
+    z_dim: int = 4,
+    max_elements: int = 9,
+    deterministic: bool = False,
+):
+    """Returns step(state, batch, rng) -> (state, stats): Gmain+Dmain+EMA."""
+    if ema_kimg is None:
+        ema_kimg = batch_size * 10 / 32  # train.py:249
+
+    def step(state: GANTrainState, batch: Dict[str, Any], rng: jax.Array):
+        b = batch["labels"].shape[0]
+        rng_gz, rng_dz, rng_gd, rng_dd, rng_gn, rng_dn, rng_ga, rng_da = jax.random.split(rng, 8)
+        rngs_g = {"dropout": rng_gd, "noise": rng_gn, "aug": rng_ga}
+        rngs_d = {"dropout": rng_dd, "noise": rng_dn, "aug": rng_da}
+
+        # --- Gmain ---
+        gen_z = jax.random.normal(rng_gz, (b, max_elements, z_dim))
+        (_, g_stats), g_grads = jax.value_and_grad(
+            lambda pg: g_main_loss(g_apply, d_apply, pg, state.params_d, batch,
+                                   gen_z, rngs_g, weights, deterministic),
+            has_aux=True,
+        )(state.params_g)
+        g_grads = _sanitize(g_grads)
+        g_updates, opt_state_g = tx_g.update(g_grads, state.opt_state_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, g_updates)
+
+        # --- Dmain (fresh z, matching the reference's per-phase z split) ---
+        gen_z_d = jax.random.normal(rng_dz, (b, max_elements, z_dim))
+        (_, d_stats), d_grads = jax.value_and_grad(
+            lambda pd: d_main_loss(g_apply, d_apply, params_g, pd, batch,
+                                   gen_z_d, rngs_d, weights, deterministic),
+            has_aux=True,
+        )(state.params_d)
+        d_grads = _sanitize(d_grads)
+        d_updates, opt_state_d = tx_d.update(d_grads, state.opt_state_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, d_updates)
+
+        # --- EMA (training_loop.py:320-328) ---
+        cur_nimg = (state.step.astype(jnp.float32) + 1.0) * batch_size
+        beta = ema_beta(batch_size, ema_kimg, cur_nimg, ema_rampup)
+        params_gema = jax.tree.map(
+            lambda e, p: p + (e - p) * beta, state.params_gema, params_g
+        )
+
+        new_state = state.replace(
+            params_g=params_g, params_d=params_d, params_gema=params_gema,
+            opt_state_g=opt_state_g, opt_state_d=opt_state_d,
+            step=state.step + 1,
+        )
+        stats = dict(g_stats)
+        stats.update(d_stats)
+        return new_state, stats
+
+    return step

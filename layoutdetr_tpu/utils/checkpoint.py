@@ -1,0 +1,36 @@
+"""Checkpoint save/restore: explicit pytrees via orbax.
+
+Replaces the reference's live-module pickling (training_loop.py:394-411
++ torch_utils/persistence.py source-embedding): state is an explicit
+pytree of arrays — params_g/params_d/params_gema + optimizer state +
+step — so checkpoints are portable, inspectable, and never execute
+code on load. Unlike the reference, optimizer state IS checkpointed
+(the reference loses it on resume, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, state: Any) -> None:
+    """Write a pytree checkpoint to ``path`` (a directory)."""
+    path = os.path.abspath(path)
+    _checkpointer().save(path, jax.device_get(state), force=True)
+
+
+def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    """Restore a pytree checkpoint; ``target`` provides structure/dtypes."""
+    path = os.path.abspath(path)
+    if target is not None:
+        target = jax.device_get(target)
+    return _checkpointer().restore(path, item=target)

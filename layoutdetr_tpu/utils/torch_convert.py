@@ -1,0 +1,250 @@
+"""Torch state-dict -> flax param-tree converters.
+
+The reference initializes from several torch checkpoints:
+- SwAV ResNet50 downloaded inside model construction
+  (detr_backbone.py:110-112) -> ``convert_resnet50``;
+- HF ``bert-base-uncased`` encoder/decoder weights
+  (networks_detr.py:92,127 via BertModel.from_pretrained)
+  -> ``convert_bert_encoder`` / ``convert_bert_lm_head``;
+- LayoutNet metric weights ``pretrained/layoutnet_<ds>.pth.tar``
+  (metric_layoutnet.py:32) -> ``convert_layoutnet``;
+- UP-DETR init and the 2.7GB full-model pickle (persistence-classes;
+  extract a state_dict with the reference environment first, then feed
+  the pieces to these converters).
+
+All converters take ``{name: np.ndarray}`` (call ``torch.load(...,
+map_location='cpu')`` and ``.numpy()`` upstream — no torch dependency
+here) and return flax-style nested dicts matching this framework's
+module definitions. Conventions converted:
+- torch Linear weight [out, in] -> kernel [in, out] (transpose);
+- torch Conv2d weight OIHW -> HWIO (transpose 2,3,1,0);
+- torch LayerNorm weight/bias -> scale/bias;
+- torch MultiheadAttention in_proj_weight [3D, D] -> in_proj_kernel
+  [D, 3D]; out_proj -> out_kernel/out_bias.
+
+Run as a CLI to convert a .pth/.pth.tar into an orbax checkpoint:
+  python -m layoutdetr_tpu.utils.torch_convert --kind layoutnet \
+      --src pretrained/layoutnet_ads_banner_collection_manual3x.pth.tar \
+      --dest pretrained/layoutnet_ads
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+Array = np.ndarray
+StateDict = Dict[str, Array]
+
+
+def _lin(sd: StateDict, prefix: str) -> dict:
+    out = {"kernel": sd[f"{prefix}.weight"].T.copy()}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"].copy()
+    return out
+
+
+def _ln(sd: StateDict, prefix: str) -> dict:
+    return {"scale": sd[f"{prefix}.weight"].copy(), "bias": sd[f"{prefix}.bias"].copy()}
+
+
+def _conv(sd: StateDict, key: str) -> Array:
+    return np.transpose(sd[key], (2, 3, 1, 0)).copy()  # OIHW -> HWIO
+
+
+def _bn(sd: StateDict, prefix: str) -> dict:
+    return {
+        "weight": sd[f"{prefix}.weight"].copy(),
+        "bias": sd[f"{prefix}.bias"].copy(),
+        "running_mean": sd[f"{prefix}.running_mean"].copy(),
+        "running_var": sd[f"{prefix}.running_var"].copy(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# ResNet50 (torchvision naming; SwAV checkpoints use module.-prefixed keys)
+# ---------------------------------------------------------------------------
+
+_STAGE_SIZES = (3, 4, 6, 3)
+
+
+def convert_resnet50(sd: StateDict) -> dict:
+    """torchvision resnet50 state dict -> models.resnet.ResNet50 params."""
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    params: dict = {
+        "conv1": {"kernel": _conv(sd, "conv1.weight")},
+        "bn1": _bn(sd, "bn1"),
+    }
+    for stage, blocks in enumerate(_STAGE_SIZES, start=1):
+        for b in range(blocks):
+            t = f"layer{stage}.{b}"
+            entry = {
+                "conv1": {"kernel": _conv(sd, f"{t}.conv1.weight")},
+                "bn1": _bn(sd, f"{t}.bn1"),
+                "conv2": {"kernel": _conv(sd, f"{t}.conv2.weight")},
+                "bn2": _bn(sd, f"{t}.bn2"),
+                "conv3": {"kernel": _conv(sd, f"{t}.conv3.weight")},
+                "bn3": _bn(sd, f"{t}.bn3"),
+            }
+            if f"{t}.downsample.0.weight" in sd:
+                entry["downsample_conv"] = {"kernel": _conv(sd, f"{t}.downsample.0.weight")}
+                entry["downsample_bn"] = _bn(sd, f"{t}.downsample.1")
+            params[f"layer{stage}_{b}"] = entry
+    return params
+
+
+# ---------------------------------------------------------------------------
+# BERT (HF naming, med.py module layout)
+# ---------------------------------------------------------------------------
+
+def _bert_layer(sd: StateDict, prefix: str, has_cross: bool) -> dict:
+    layer = {
+        "attention": {
+            "self": {
+                "query": _lin(sd, f"{prefix}.attention.self.query"),
+                "key": _lin(sd, f"{prefix}.attention.self.key"),
+                "value": _lin(sd, f"{prefix}.attention.self.value"),
+            },
+            "output_dense": _lin(sd, f"{prefix}.attention.output.dense"),
+            "output_layernorm": _ln(sd, f"{prefix}.attention.output.LayerNorm"),
+        },
+        "intermediate_dense": _lin(sd, f"{prefix}.intermediate.dense"),
+        "output_dense": _lin(sd, f"{prefix}.output.dense"),
+        "output_layernorm": _ln(sd, f"{prefix}.output.LayerNorm"),
+    }
+    if has_cross and f"{prefix}.crossattention.self.query.weight" in sd:
+        layer["crossattention"] = {
+            "self": {
+                "query": _lin(sd, f"{prefix}.crossattention.self.query"),
+                "key": _lin(sd, f"{prefix}.crossattention.self.key"),
+                "value": _lin(sd, f"{prefix}.crossattention.self.value"),
+            },
+            "output_dense": _lin(sd, f"{prefix}.crossattention.output.dense"),
+            "output_layernorm": _ln(sd, f"{prefix}.crossattention.output.LayerNorm"),
+        }
+    return layer
+
+
+def _resize_vocab(emb: Array, vocab_size: int) -> Array:
+    """Pad token embeddings for added special tokens ([DEC]/[ENC],
+    networks_detr.py:93 resize_token_embeddings)."""
+    if emb.shape[0] >= vocab_size:
+        return emb[:vocab_size].copy()
+    extra = np.random.RandomState(0).normal(0.0, 0.02, (vocab_size - emb.shape[0], emb.shape[1]))
+    return np.concatenate([emb, extra.astype(emb.dtype)], axis=0)
+
+
+def convert_bert_encoder(sd: StateDict, num_layers: int, vocab_size: int = 30524,
+                         prefix: str = "") -> dict:
+    """HF BertModel state dict -> models.bert.BertModel params."""
+    p = prefix
+    params: dict = {
+        "embeddings": {
+            "word_embeddings": _resize_vocab(sd[f"{p}embeddings.word_embeddings.weight"], vocab_size),
+            "position_embeddings": sd[f"{p}embeddings.position_embeddings.weight"].copy(),
+            "layernorm": _ln(sd, f"{p}embeddings.LayerNorm"),
+        }
+    }
+    for i in range(num_layers):
+        params[f"layer_{i}"] = _bert_layer(sd, f"{p}encoder.layer.{i}", has_cross=True)
+    return params
+
+
+def convert_bert_lm_head(sd: StateDict, num_layers: int, vocab_size: int = 30524) -> dict:
+    """HF BertLMHeadModel/BertForMaskedLM state dict -> BertLMHeadModel params."""
+    bert = convert_bert_encoder(sd, num_layers, vocab_size, prefix="bert.")
+    decoder_kernel = _resize_vocab(sd["cls.predictions.decoder.weight"], vocab_size).T.copy()
+    bias_key = ("cls.predictions.decoder.bias" if "cls.predictions.decoder.bias" in sd
+                else "cls.predictions.bias")
+    bias = sd[bias_key]
+    bias = np.concatenate([bias, np.zeros(vocab_size - bias.shape[0], bias.dtype)]) \
+        if bias.shape[0] < vocab_size else bias[:vocab_size]
+    cls = {
+        "transform_dense": _lin(sd, "cls.predictions.transform.dense"),
+        "transform_layernorm": _ln(sd, "cls.predictions.transform.LayerNorm"),
+        "decoder": {"kernel": decoder_kernel, "bias": bias.copy()},
+    }
+    return {"bert": bert, "cls": cls}
+
+
+# ---------------------------------------------------------------------------
+# LayoutNet (networks_layoutnet.py naming)
+# ---------------------------------------------------------------------------
+
+def _torch_encoder_layer(sd: StateDict, prefix: str) -> dict:
+    return {
+        "self_attn": {
+            "in_proj_kernel": sd[f"{prefix}.self_attn.in_proj_weight"].T.copy(),
+            "in_proj_bias": sd[f"{prefix}.self_attn.in_proj_bias"].copy(),
+            "out_kernel": sd[f"{prefix}.self_attn.out_proj.weight"].T.copy(),
+            "out_bias": sd[f"{prefix}.self_attn.out_proj.bias"].copy(),
+        },
+        "linear1": _lin(sd, f"{prefix}.linear1"),
+        "linear2": _lin(sd, f"{prefix}.linear2"),
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+    }
+
+
+def convert_layoutnet(sd: StateDict, num_layers: int = 4) -> dict:
+    """LayoutNet .pth.tar state dict -> models.layoutnet.LayoutNet params."""
+    params: dict = {
+        "emb_label_table": sd["emb_label.weight"].copy(),
+        "pos_token": sd["pos_token"].squeeze(1).copy(),  # [50,1,D] -> [50,D]
+        "fc_bbox": _lin(sd, "fc_bbox"),
+        "enc_fc_in": _lin(sd, "enc_fc_in"),
+        "fc_out_disc": _lin(sd, "fc_out_disc"),
+        "dec_fc_in": _lin(sd, "dec_fc_in"),
+        "fc_out_cls": _lin(sd, "fc_out_cls"),
+        "fc_out_bbox": _lin(sd, "fc_out_bbox"),
+        "enc_transformer": {
+            "token": sd["enc_transformer.token"].transpose(1, 0, 2).copy()
+            if sd["enc_transformer.token"].ndim == 3 else sd["enc_transformer.token"].copy(),
+        },
+    }
+    for i in range(num_layers):
+        params["enc_transformer"][f"layers_{i}"] = _torch_encoder_layer(
+            sd, f"enc_transformer.core.layers.{i}")
+        params[f"dec_layers_{i}"] = _torch_encoder_layer(sd, f"dec_transformer.layers.{i}")
+    return params
+
+
+def load_torch_state_dict(path: str) -> StateDict:
+    """torch.load a .pth/.pth.tar and return numpy arrays."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in obj.items()}
+
+
+def main():
+    import argparse
+
+    from layoutdetr_tpu.utils.checkpoint import save_checkpoint
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kind", required=True,
+                    choices=["resnet50", "bert_encoder", "bert_lm_head", "layoutnet"])
+    ap.add_argument("--src", required=True)
+    ap.add_argument("--dest", required=True)
+    ap.add_argument("--num-layers", type=int, default=12)
+    args = ap.parse_args()
+
+    sd = load_torch_state_dict(args.src)
+    if args.kind == "resnet50":
+        tree = convert_resnet50(sd)
+    elif args.kind == "bert_encoder":
+        tree = convert_bert_encoder(sd, args.num_layers)
+    elif args.kind == "bert_lm_head":
+        tree = convert_bert_lm_head(sd, args.num_layers)
+    else:
+        tree = convert_layoutnet(sd)
+    save_checkpoint(args.dest, {"params": tree})
+    print(f"converted {args.kind}: {args.src} -> {args.dest}")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 # Offline guards: never let transformers/HF touch the network in tests.
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+# Persistent compilation cache — this box has a single CPU core and XLA
+# compiles dominate test wall-time; cache them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
@@ -45,11 +50,16 @@ def import_reference_module(name):
         "torchvision.models", "torchvision.models._utils",
         "skimage", "skimage.transform",
         "pytorch_fid", "pytorch_fid.fid_score",
+        "pkg_resources",
     ]:
         if stub_name not in sys.modules:
             mod = types.ModuleType(stub_name)
             if stub_name == "pytorch_fid.fid_score":
                 mod.calculate_frechet_distance = None
+            if stub_name == "pkg_resources":
+                from packaging.version import parse as _parse_version
+
+                mod.parse_version = _parse_version
             sys.modules[stub_name] = mod
 
     if REFERENCE_ROOT not in sys.path:

@@ -1,0 +1,189 @@
+"""Train LayoutDETR-TPU.
+
+CLI parity target: reference train.py:128-305 — same flag names, same
+derived-weight arithmetic (train.py:262-275), same run-dir layout
+(numbered subdirs + training_options.json dump). Device count replaces
+``--gpus``: the mesh spans all visible TPU chips by default
+(``--chips`` limits it); multi-host works by launching one process per
+host with ``jax.distributed`` env configured.
+
+Example:
+  python train.py --outdir=training-runs --data=data/ads/train.zip --batch=16
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import click
+
+from layoutdetr_tpu.config import EasyDict, dump_config
+from layoutdetr_tpu.models.generator import GeneratorConfig
+from layoutdetr_tpu.training.loss import LossWeights
+
+
+def parse_comma_separated_list(s):
+    if s is None or s.lower() == "none" or s == "":
+        return []
+    return s.split(",")
+
+
+@click.command()
+# Required.
+@click.option("--outdir", required=True, metavar="DIR")
+@click.option("--data", required=True, metavar="[ZIP]", type=str)
+@click.option("--batch", "batch_size", required=True, metavar="INT", type=click.IntRange(min=1))
+# Loss weights (reference train.py:135-145).
+@click.option("--gamma", "r1_gamma", type=click.FloatRange(min=0), default=0.0, show_default=True)
+@click.option("--pl-weight", type=click.FloatRange(min=0), default=0.0, show_default=True)
+@click.option("--bbox-cls-weight", type=click.FloatRange(min=0), default=50.0, show_default=True)
+@click.option("--bbox-rec-weight", type=click.FloatRange(min=0), default=500.0, show_default=True)
+@click.option("--text-rec-weight", type=click.FloatRange(min=0), default=0.1, show_default=True)
+@click.option("--text-len-rec-weight", type=click.FloatRange(min=0), default=2.0, show_default=True)
+@click.option("--im-rec-weight", type=click.FloatRange(min=0), default=0.5, show_default=True)
+@click.option("--bbox-giou-weight", type=click.FloatRange(min=0), default=4.0, show_default=True)
+@click.option("--overlapping-weight", type=click.FloatRange(min=0), default=7.0, show_default=True)
+@click.option("--alignment-weight", type=click.FloatRange(min=0), default=17.0, show_default=True)
+@click.option("--z-rec-weight", type=click.FloatRange(min=0), default=5.0, show_default=True)
+# Optional features.
+@click.option("--aug", type=click.Choice(["noaug", "ada", "fixed"]), default="noaug", show_default=True)
+@click.option("--resume", type=str, metavar="[PATH]")
+@click.option("--resume-kimg", type=click.IntRange(min=0), default=0, show_default=True)
+# Misc hyperparameters.
+@click.option("--p", "aug_p", type=click.FloatRange(min=0, max=1), default=0.2, show_default=True)
+@click.option("--target", "ada_target", type=click.FloatRange(min=0, max=1), default=0.6, show_default=True)
+@click.option("--glr", type=click.FloatRange(min=0), default=1e-5, show_default=True)
+@click.option("--dlr", type=click.FloatRange(min=0), default=1e-5, show_default=True)
+# Model hyperparameters (train.py:167-183).
+@click.option("--z-dim", type=click.IntRange(min=1), default=4, show_default=True)
+@click.option("--bert-f-dim", type=click.IntRange(min=1), default=768, show_default=True)
+@click.option("--bert-num-heads", type=click.IntRange(min=1), default=4, show_default=True)
+@click.option("--bert-num-encoder-layers", type=click.IntRange(min=1), default=12, show_default=True)
+@click.option("--bert-num-decoder-layers", type=click.IntRange(min=1), default=2, show_default=True)
+@click.option("--background-size", type=click.IntRange(min=1), default=256, show_default=True)
+@click.option("--im-f-dim", type=click.IntRange(min=1), default=512, show_default=True)
+@click.option("--max-text-length", type=click.IntRange(min=1), default=256, show_default=True)
+# Misc settings.
+@click.option("--desc", type=str)
+@click.option("--metrics", type=parse_comma_separated_list, default="layout_fid50k_val", show_default=True)
+@click.option("--kimg", "total_kimg", type=click.IntRange(min=1), default=25000, show_default=True)
+@click.option("--tick", "kimg_per_tick", type=click.IntRange(min=1), default=1, show_default=True)
+@click.option("--snap", "snap", type=click.IntRange(min=1), default=100, show_default=True)
+@click.option("--seed", type=click.IntRange(min=0), default=0, show_default=True)
+@click.option("--bf16/--fp32", "use_bf16", default=False, show_default=True,
+              help="bf16 activations on the MXU (params stay fp32)")
+@click.option("--chips", type=click.IntRange(min=1), default=None, help="Limit device count")
+@click.option("--max-steps", type=int, default=None, help="Stop after N steps (debug)")
+@click.option("-n", "--dry-run", is_flag=True)
+def main(**opts):
+    opts = EasyDict(opts)
+
+    import jax
+    import jax.numpy as jnp
+
+    # Resolve dataset metadata for num_bbox_labels.
+    from layoutdetr_tpu.data.dataset import LayoutDataset
+
+    probe = LayoutDataset(opts.data, background_size=opts.background_size,
+                          max_text_length=opts.max_text_length)
+    num_bbox_labels = probe.num_bbox_labels
+    dataset_name = probe.name
+    num_samples = len(probe)
+
+    gcfg = GeneratorConfig(
+        z_dim=opts.z_dim,
+        num_bbox_labels=num_bbox_labels,
+        bert_f_dim=opts.bert_f_dim,
+        bert_num_heads=opts.bert_num_heads,
+        bert_num_encoder_layers=opts.bert_num_encoder_layers,
+        bert_num_decoder_layers=opts.bert_num_decoder_layers,
+        im_f_dim=opts.im_f_dim,
+        background_size=opts.background_size,
+        max_text_length=opts.max_text_length,
+    )
+    # Derived weight arithmetic (reference train.py:262-275).
+    weights = LossWeights(
+        Dreal_bbox_cls_weight=opts.bbox_cls_weight,
+        Ggen_bbox_cls_weight=opts.bbox_cls_weight,
+        Dreal_bbox_rec_weight=opts.bbox_rec_weight,
+        Ggen_bbox_rec_weight=opts.bbox_rec_weight / 5.0,
+        Dreal_text_rec_weight=opts.text_rec_weight,
+        Ggen_text_rec_weight=opts.text_rec_weight * 10.0,
+        Dreal_text_len_rec_weight=opts.text_len_rec_weight,
+        Ggen_text_len_rec_weight=opts.text_len_rec_weight / 2.0,
+        Dreal_im_rec_weight=opts.im_rec_weight,
+        Ggen_bbox_gIoU_weight=opts.bbox_giou_weight,
+        Ggen_overlapping_weight=opts.overlapping_weight,
+        Ggen_alignment_weight=opts.alignment_weight,
+        Ggen_z_rec_weight=opts.z_rec_weight,
+        pl_weight=opts.pl_weight,
+        r1_gamma=opts.r1_gamma,
+    )
+
+    # Run-dir numbering (reference train.py:55-62).
+    prev = [re.match(r"^\d+", x) for x in (os.listdir(opts.outdir) if os.path.isdir(opts.outdir) else [])]
+    cur_id = max((int(m.group()) for m in prev if m), default=-1) + 1
+    desc = f"{dataset_name:s}-batch{opts.batch_size:d}"
+    if opts.desc:
+        desc += f"-{opts.desc}"
+    run_dir = os.path.join(opts.outdir, f"{cur_id:05d}-{desc}")
+
+    cfg = EasyDict(
+        run_dir=run_dir, data=opts.data, batch_size=opts.batch_size,
+        glr=opts.glr, dlr=opts.dlr, total_kimg=opts.total_kimg,
+        kimg_per_tick=opts.kimg_per_tick, network_snapshot_ticks=opts.snap,
+        random_seed=opts.seed, resume=opts.resume, resume_kimg=opts.resume_kimg,
+        num_samples=num_samples, metrics=opts.metrics,
+        gcfg=vars(gcfg) if not isinstance(gcfg, dict) else gcfg,
+        loss_weights=vars(weights) if not isinstance(weights, dict) else weights,
+        aug=opts.aug, ada_target=opts.ada_target if opts.aug == "ada" else None,
+        bf16=opts.use_bf16, ema_kimg=opts.batch_size * 10 / 32,
+    )
+
+    print()
+    print("Training options:")
+    print(json.dumps(cfg, indent=2, default=str))
+    print()
+    print(f"Output directory:    {run_dir}")
+    print(f"Training data:       {opts.data} ({num_samples} samples)")
+    print(f"Devices:             {len(jax.devices()) if opts.chips is None else opts.chips}")
+    if opts.dry_run:
+        print("Dry run; exiting.")
+        return
+
+    os.makedirs(run_dir, exist_ok=True)
+    dump_config(cfg, os.path.join(run_dir, "training_options.json"))
+
+    from layoutdetr_tpu.training.train_loop import training_loop
+    from layoutdetr_tpu.utils.logging import Logger
+
+    logger = Logger(os.path.join(run_dir, "log.txt"))
+    try:
+        training_loop(
+            run_dir=run_dir,
+            data=opts.data,
+            gcfg=gcfg,
+            dtype=(jnp.bfloat16 if opts.use_bf16 else jnp.float32),
+            loss_weights=weights,
+            batch_size=opts.batch_size,
+            glr=opts.glr,
+            dlr=opts.dlr,
+            total_kimg=opts.total_kimg,
+            kimg_per_tick=opts.kimg_per_tick,
+            network_snapshot_ticks=opts.snap,
+            random_seed=opts.seed,
+            resume=opts.resume,
+            resume_kimg=opts.resume_kimg,
+            max_steps=opts.max_steps,
+            aug=opts.aug,
+            aug_p=opts.aug_p,
+            ada_target=opts.ada_target,
+        )
+    finally:
+        logger.close()
+
+
+if __name__ == "__main__":
+    main()
