@@ -37,9 +37,14 @@ def main():
     parser.add_argument("--steps", type=int, default=6)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--text-len", type=int, default=128)
+    parser.add_argument("--fp32", action="store_true",
+                        help="fp32 activations (default: bf16 on the MXU)")
     args = parser.parse_args()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from __graft_entry__ import _example_batch
     from layoutdetr_tpu.models.discriminator import Discriminator
@@ -72,8 +77,11 @@ def main():
         background=batch_np["background"],
     )
 
-    g = Generator(gcfg)
-    d = Discriminator(gcfg)
+    import jax.numpy as jnp
+
+    dtype = jnp.float32 if (args.fp32 or args.smoke) else jnp.bfloat16
+    g = Generator(gcfg, dtype=dtype)
+    d = Discriminator(gcfg, dtype=dtype)
     key = jax.random.PRNGKey(0)
     init_kwargs = dict(
         bbox_class=batch["labels"][:1], text_ids=batch["text_ids"][:1],

@@ -201,7 +201,8 @@ def augment_pipe(images, p, rng, cfg: AugmentConfig = AugmentConfig()):
         c = jnp.where(fires(keys[14], cfg.saturation)[:, None, None], t @ c, c)
 
     rgb1 = jnp.concatenate([images, jnp.ones_like(images[..., :1])], axis=-1)
-    images = jnp.einsum("bij,bhwj->bhwi", c, rgb1)[..., :3]
+    images = jnp.einsum("bij,bhwj->bhwi", c, rgb1,
+                        precision=jax.lax.Precision.HIGHEST)[..., :3]
 
     # --- Noise + cutout (augment.py:399-434) ---
     kn = jax.random.split(keys[15], 4)

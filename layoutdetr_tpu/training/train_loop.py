@@ -105,10 +105,11 @@ def training_loop(
     aug: str = "noaug",
     aug_p: float = 0.2,
     ada_target: Optional[float] = None,
+    n_devices: Optional[int] = None,
 ):
     """Run GAN training. Returns the final GANTrainState (host copy)."""
     start_time = time.time()
-    mesh = make_mesh()
+    mesh = make_mesh(n_devices)
     n_dev = mesh.devices.size
     assert batch_size % n_dev == 0, "batch must divide the data-parallel mesh"
     is_chief = jax.process_index() == 0

@@ -183,8 +183,10 @@ int fd_resize_lanczos(const uint8_t* src, int sw, int sh,
     Taps tx = build_taps(sw, dw);
     Taps ty = build_taps(sh, dh);
 
-    // Horizontal pass into float intermediate [sh, dw, 3].
-    std::vector<float> tmp((size_t)sh * dw * 3);
+    // Horizontal pass. PIL's 8bpc pipeline rounds AND CLAMPS the
+    // intermediate to uint8 (ringing overshoot clips between passes);
+    // reproduce that for byte-parity with the reference's data loader.
+    std::vector<uint8_t> tmp((size_t)sh * dw * 3);
     for (int y = 0; y < sh; ++y) {
         const uint8_t* row = src + (size_t)y * sw * 3;
         for (int x = 0; x < dw; ++x) {
@@ -196,10 +198,11 @@ int fd_resize_lanczos(const uint8_t* src, int sw, int sh,
                 acc[1] += wp[k] * px[1];
                 acc[2] += wp[k] * px[2];
             }
-            float* o = &tmp[((size_t)y * dw + x) * 3];
-            o[0] = (float)acc[0];
-            o[1] = (float)acc[1];
-            o[2] = (float)acc[2];
+            uint8_t* o = &tmp[((size_t)y * dw + x) * 3];
+            for (int c = 0; c < 3; ++c) {
+                double v = std::round(acc[c]);
+                o[c] = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
+            }
         }
     }
     // Vertical pass.
@@ -208,7 +211,7 @@ int fd_resize_lanczos(const uint8_t* src, int sw, int sh,
         for (int x = 0; x < dw; ++x) {
             double acc[3] = {0, 0, 0};
             for (int k = 0; k < ty.size[y]; ++k) {
-                const float* px = &tmp[(((size_t)(ty.start[y] + k)) * dw + x) * 3];
+                const uint8_t* px = &tmp[(((size_t)(ty.start[y] + k)) * dw + x) * 3];
                 acc[0] += wp[k] * px[0];
                 acc[1] += wp[k] * px[1];
                 acc[2] += wp[k] * px[2];

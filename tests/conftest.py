@@ -9,12 +9,29 @@ import os
 import sys
 import types
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU
+# plugin ('axon'), and its sitecustomize re-applies the platform via
+# jax.config at interpreter start — env vars alone are NOT enough; the
+# config must be updated after jax import, before backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax._src import xla_bridge as _xb
+
+    if _xb.backends_are_initialized():
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+except Exception:
+    pass
 # Offline guards: never let transformers/HF touch the network in tests.
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
@@ -54,6 +71,11 @@ def import_reference_module(name):
     ]:
         if stub_name not in sys.modules:
             mod = types.ModuleType(stub_name)
+            # A real ModuleSpec so importlib.util.find_spec on the stub
+            # (e.g. transformers' torchvision feature detection) works.
+            import importlib.machinery
+
+            mod.__spec__ = importlib.machinery.ModuleSpec(stub_name, loader=None)
             if stub_name == "pytorch_fid.fid_score":
                 mod.calculate_frechet_distance = None
             if stub_name == "pkg_resources":

@@ -1,0 +1,104 @@
+"""Metric registry + layout-FID/eval-suite over a tiny synthetic dataset."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from test_models import TINY
+
+
+import dataclasses
+
+# The zip loader always pads to 9 elements (dataset layout contract),
+# so the model config here must use max_elements=9.
+TINY9 = dataclasses.replace(TINY, max_elements=9)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    from layoutdetr_tpu.data.dataset import LayoutDataset
+    from layoutdetr_tpu.data.synthetic import make_synthetic_zip
+    from layoutdetr_tpu.models.generator import Generator
+
+    zip_path = make_synthetic_zip(
+        str(tmp_path_factory.mktemp("data") / "val.zip"), num_samples=6, image_size=32,
+        max_elements=3,
+    )
+    ds = LayoutDataset(zip_path, background_size=TINY9.background_size,
+                       max_text_length=TINY9.max_text_length)
+    g = Generator(TINY9)
+    b = ds.collate([0])
+    params = g.init(
+        jax.random.PRNGKey(0),
+        z=np.zeros((1, 9, TINY9.z_dim), np.float32),
+        bbox_real=b["bboxes"], bbox_class=b["labels"],
+        text_ids=np.clip(b["text_ids"], 0, TINY9.vocab_size - 1),
+        text_mask=b["text_mask"], text_len=b["text_len"],
+        padding_mask=b["padding_mask"], background=b["background"],
+    )
+    return g, params, ds
+
+
+class ClippedDataset:
+    """Wrap a dataset to clip token ids into a tiny test vocab."""
+
+    def __init__(self, ds, vocab):
+        self._ds = ds
+        self._vocab = vocab
+        self.num_bbox_labels = ds.num_bbox_labels
+        self.name = "ads_banner_collection_test"
+
+    def __len__(self):
+        return len(self._ds)
+
+    def __getitem__(self, i):
+        item = dict(self._ds[i])
+        item["text_ids"] = np.clip(item["text_ids"], 0, self._vocab - 1)
+        return item
+
+    def collate(self, idxs):
+        b = self._ds.collate(idxs)
+        b["text_ids"] = np.clip(b["text_ids"], 0, self._vocab - 1)
+        return b
+
+
+def test_registry_lists_reference_metrics():
+    from layoutdetr_tpu.metrics import metric_main
+
+    for m in ("layout_fid50k_val", "fid50k_val", "rendering_val",
+              "overlap50k_alignment50k_layoutwise_iou50k_layoutwise_docsim50k_val"):
+        assert metric_main.is_valid_metric(m)
+    assert not metric_main.is_valid_metric("nope")
+
+
+def test_layout_fid_and_eval_suite(tiny_setup):
+    from layoutdetr_tpu.metrics import metric_main
+
+    g, params, ds = tiny_setup
+    dataset = ClippedDataset(ds, TINY9.vocab_size)
+    common = dict(g_apply=g.apply, params=params, dataset=dataset, gcfg=TINY9,
+                  layoutnet_params=None, batch=3, seed=0)
+
+    result = metric_main.calc_metric("layout_fid50k_val", **common)
+    fid = result.results["layout_fid50k_val"]
+    assert np.isfinite(fid) and fid >= 0
+
+    result2 = metric_main.calc_metric(
+        "overlap50k_alignment50k_layoutwise_iou50k_layoutwise_docsim50k_val", **common)
+    for key, v in result2.results.items():
+        assert np.isfinite(v), key
+
+
+def test_report_metric_writes_jsonl(tiny_setup, tmp_path):
+    import json
+
+    from layoutdetr_tpu.config import EasyDict
+    from layoutdetr_tpu.metrics import metric_main
+
+    fake = EasyDict(results=EasyDict(foo=1.0), metric="layout_fid50k_val",
+                    total_time=0.1, total_time_str="0s")
+    metric_main.report_metric(fake, run_dir=str(tmp_path), snapshot_path="snap")
+    line = (tmp_path / "metric-layout_fid50k_val.jsonl").read_text().strip()
+    rec = json.loads(line)
+    assert rec["results"]["foo"] == 1.0 and rec["snapshot_path"] == "snap"

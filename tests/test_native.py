@@ -30,7 +30,10 @@ def test_lanczos_resize_matches_pil():
     img = rng.integers(0, 255, (64, 48, 3), np.uint8)
     pil = np.array(PIL.Image.fromarray(img).resize((24, 24), PIL.Image.LANCZOS))
     nat = native.resize_lanczos(img, 24)
-    assert np.abs(pil.astype(int) - nat.astype(int)).max() <= 1  # rounding LSB
+    diff = np.abs(pil.astype(int) - nat.astype(int))
+    # The native path reproduces PIL's uint8 intermediate quantization;
+    # only PIL's fixed-point coefficient rounding remains (<=1 LSB).
+    assert diff.max() <= 1 and diff.mean() < 0.01
 
 
 @needs_native
@@ -43,5 +46,5 @@ def test_dataset_native_path_matches_pil(tmp_path):
     ds_pil = LayoutDataset(zip_path, background_size=32, use_native=False)
     a = ds_nat[0]["background"]
     b = ds_pil[0]["background"]
-    # ±1 uint8 LSB of resize rounding, scaled by 1/(255*std).
+    # <=1 uint8 LSB of coefficient rounding, scaled by 1/(255*std).
     assert np.abs(a - b).max() < 2.0 / (255 * 0.224)

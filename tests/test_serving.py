@@ -1,0 +1,111 @@
+"""Post-processing + rendering behavior tests (serving layer)."""
+
+import numpy as np
+import PIL.Image
+import pytest
+
+from layoutdetr_tpu.serving.postprocess import (
+    apply_postprocessing,
+    de_overlap,
+    horizontal_center_aligned,
+    horizontal_left_aligned,
+    jitter,
+    save_bboxes_with_background,
+)
+
+from conftest import import_reference_module
+
+
+def sample_layout():
+    bbox = np.array([[[0.3, 0.2, 0.2, 0.1],
+                      [0.6, 0.45, 0.3, 0.15],
+                      [0.5, 0.8, 0.25, 0.1]]], np.float32)
+    mask = np.array([[True, True, True]])
+    return bbox, mask
+
+
+def test_center_aligned_sets_common_xc():
+    bbox, mask = sample_layout()
+    out = horizontal_center_aligned(bbox, mask)
+    assert np.allclose(out[0, :, 0], bbox[0, :, 0].mean())
+    assert np.array_equal(out[0, :, 1:], bbox[0, :, 1:])
+
+
+def test_left_aligned_aligns_left_edges():
+    bbox, mask = sample_layout()
+    out = horizontal_left_aligned(bbox, mask)
+    lefts = out[0, :, 0] - out[0, :, 2] / 2
+    assert np.allclose(lefts, lefts[0], atol=1e-6)
+
+
+def test_de_overlap_reduces_vertical_overlap():
+    bbox = np.array([[[0.5, 0.50, 0.4, 0.2],
+                      [0.5, 0.55, 0.4, 0.2]]], np.float32)
+    mask = np.array([[True, True]])
+    out = de_overlap(bbox, mask)
+    gap_before = abs(bbox[0, 0, 1] - bbox[0, 1, 1]) - (bbox[0, 0, 3] + bbox[0, 1, 3]) / 2
+    gap_after = abs(out[0, 0, 1] - out[0, 1, 1]) - (out[0, 0, 3] + out[0, 1, 3]) / 2
+    assert gap_after > gap_before  # strictly less overlapping
+
+
+def test_jitter_deterministic_and_bounded():
+    bbox, _ = sample_layout()
+    a = jitter(bbox, 0.2, seed=3)
+    b = jitter(bbox, 0.2, seed=3)
+    np.testing.assert_array_equal(a, b)
+    ratio = a / bbox
+    assert (ratio > 0.8 - 1e-6).all() and (ratio < 1.2 + 1e-6).all()
+
+
+def test_apply_postprocessing_random_mode_actually_branches():
+    """The reference's `==` bug made random mode a no-op
+    (generate.py:317-319); ours must sometimes produce each branch."""
+    bbox, mask = sample_layout()
+    seen = set()
+    for seed in range(20):
+        out, is_center = apply_postprocessing(bbox, mask, "none", np.random.RandomState(seed))
+        changed = not np.array_equal(out, bbox)
+        seen.add((bool(changed), bool(is_center)))
+    assert len(seen) >= 2, f"random post-processing never branched: {seen}"
+
+
+def test_jitter_parity_vs_reference():
+    ref_gen = import_reference_module("generate_util") and None  # heavy; use math directly
+    import math
+
+    bbox, _ = sample_layout()
+    ours = jitter(bbox, 0.3, seed=11)
+    perturb = np.random.RandomState(11).uniform(
+        low=math.log(1.0 - 0.3), high=math.log(1.0 + 0.3), size=bbox.shape
+    ).astype(np.float32)
+    np.testing.assert_allclose(ours, bbox * np.exp(perturb), rtol=1e-6)
+
+
+def test_save_bboxes_overlay(tmp_path):
+    bbox, mask = sample_layout()
+    bg = PIL.Image.new("RGB", (64, 64), (200, 200, 200))
+    path = str(tmp_path / "overlay.png")
+    save_bboxes_with_background(bbox[0], mask[0], np.array([0, 5, 3]), bg, path)
+    img = np.array(PIL.Image.open(path))
+    assert img.shape == (64, 64, 3)
+    assert (img != 200).any()  # boxes drawn
+
+
+def test_render_banner_pil(tmp_path):
+    from layoutdetr_tpu.serving.render import compose_banner_html, render_banner_pil
+
+    bbox, mask = sample_layout()
+    bg = PIL.Image.new("RGB", (128, 96), (30, 30, 30))
+    styles = [
+        {"type": "header", "text": "Big Sale", "style": {"fontFamily": "Arial", "color": ""}},
+        {"type": "button", "text": "Shop Now", "style": {"fontFamily": "Arial", "color": ""},
+         "buttonParams": {"backgroundColor": "", "radius": 0.5}},
+        {"type": "body text", "text": "Fresh deals", "style": {"fontFamily": "Arial", "color": ""}},
+    ]
+    out = render_banner_pil(bbox[0], mask[0], styles, True, bg, str(tmp_path / "banner.png"))
+    img = np.array(PIL.Image.open(out))
+    assert img.shape[:2] == (96, 128)
+    assert (img != 30).any()  # text/button drawn on the dark bg
+
+    html = compose_banner_html(bbox[0], mask[0], styles, True, bg, "bg.png")
+    assert "Big Sale" in html and "background-color:" in html and "border-radius:0.5em" in html

@@ -180,6 +180,7 @@ def main(**opts):
             aug=opts.aug,
             aug_p=opts.aug_p,
             ada_target=opts.ada_target,
+            n_devices=opts.chips,
         )
     finally:
         logger.close()
