@@ -85,6 +85,7 @@ def training_loop(
     gcfg: GeneratorConfig = GeneratorConfig(),
     loss_weights: LossWeights = LossWeights(),
     batch_size: int = 16,
+    batch_gpu: Optional[int] = None,
     glr: float = 1e-5,
     dlr: float = 1e-5,
     g_reg_interval: Optional[int] = 4,
@@ -137,11 +138,17 @@ def training_loop(
             print(f"Resumed from {resume}")
     state = replicate(state, mesh)
 
+    per_dev = batch_size // n_dev
+    grad_accum = 1
+    if batch_gpu is not None and batch_gpu < per_dev:
+        assert per_dev % batch_gpu == 0, "--batch-gpu must divide the per-device batch"
+        grad_accum = per_dev // batch_gpu
     step_fn = jax.jit(
         make_train_step(
             g.apply, d.apply, tx_g, tx_d, weights=loss_weights,
             batch_size=batch_size, ema_rampup=ema_rampup,
             z_dim=gcfg.z_dim, max_elements=gcfg.max_elements,
+            grad_accum=grad_accum,
         ),
         donate_argnums=(0,),
     )

@@ -66,6 +66,48 @@ def ema_beta(batch_size: int, ema_kimg: float, cur_nimg, ema_rampup: Optional[fl
     return 0.5 ** (batch_size / jnp.maximum(ema_nimg, 1e-8))
 
 
+def _accum_phase(loss_fn: Callable, params, batch: Dict[str, Any], rng: jax.Array,
+                 grad_accum: int, make_rngs: Callable):
+    """Grad-accumulate a phase over ``grad_accum`` microbatches via lax.scan.
+
+    The reference iterates batch_gpu-sized chunks accumulating
+    .backward() (training_loop.py:285-298); here the microbatch loop is
+    a scan inside the jitted step, so remat/accumulation is fused and
+    grads are averaged once. grad_accum=1 short-circuits to a single
+    value_and_grad.
+    """
+    if grad_accum == 1:
+        rng_z, rng_m = jax.random.split(rng)
+        (_, stats), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch, rng_z, make_rngs(rng_m)), has_aux=True
+        )(params)
+        return grads, stats
+
+    def split_mb(x):
+        return x.reshape((grad_accum, x.shape[0] // grad_accum) + x.shape[1:])
+
+    mbs = {k: split_mb(v) if hasattr(v, "ndim") and v.ndim > 0 else v
+           for k, v in batch.items()}
+    scalars = {k: v for k, v in batch.items() if not (hasattr(v, "ndim") and v.ndim > 0)}
+    arrays = {k: v for k, v in mbs.items() if k not in scalars}
+    rngs = jax.random.split(rng, grad_accum)
+
+    def body(acc, xs):
+        mb_arrays, step_rng = xs
+        mb = dict(mb_arrays, **scalars)
+        rng_z, rng_m = jax.random.split(step_rng)
+        (_, stats), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, mb, rng_z, make_rngs(rng_m)), has_aux=True
+        )(params)
+        return jax.tree.map(jnp.add, acc, grads), stats
+
+    zero = jax.tree.map(jnp.zeros_like, params)
+    total, stats_seq = jax.lax.scan(body, zero, (arrays, rngs))
+    grads = jax.tree.map(lambda g: g / grad_accum, total)
+    stats = jax.tree.map(lambda s: s.mean(), stats_seq)
+    return grads, stats
+
+
 def make_train_step(
     g_apply: Callable,
     d_apply: Callable,
@@ -78,35 +120,44 @@ def make_train_step(
     z_dim: int = 4,
     max_elements: int = 9,
     deterministic: bool = False,
+    grad_accum: int = 1,
 ):
-    """Returns step(state, batch, rng) -> (state, stats): Gmain+Dmain+EMA."""
+    """Returns step(state, batch, rng) -> (state, stats): Gmain+Dmain+EMA.
+
+    ``grad_accum`` > 1 microbatches each phase (the reference's
+    batch_gpu); the per-device batch must be divisible by it.
+    """
     if ema_kimg is None:
         ema_kimg = batch_size * 10 / 32  # train.py:249
 
     def step(state: GANTrainState, batch: Dict[str, Any], rng: jax.Array):
-        b = batch["labels"].shape[0]
-        rng_gz, rng_dz, rng_gd, rng_dd, rng_gn, rng_dn, rng_ga, rng_da = jax.random.split(rng, 8)
-        rngs_g = {"dropout": rng_gd, "noise": rng_gn, "aug": rng_ga}
-        rngs_d = {"dropout": rng_dd, "noise": rng_dn, "aug": rng_da}
+        rng_g, rng_d = jax.random.split(rng)
+
+        def make_rngs(key):
+            k1, k2, k3 = jax.random.split(key, 3)
+            return {"dropout": k1, "noise": k2, "aug": k3}
+
+        def sample_z(key, mb):
+            return jax.random.normal(key, (mb["labels"].shape[0], max_elements, z_dim))
 
         # --- Gmain ---
-        gen_z = jax.random.normal(rng_gz, (b, max_elements, z_dim))
-        (_, g_stats), g_grads = jax.value_and_grad(
-            lambda pg: g_main_loss(g_apply, d_apply, pg, state.params_d, batch,
-                                   gen_z, rngs_g, weights, deterministic),
-            has_aux=True,
-        )(state.params_g)
+        def g_loss(p, mb, rng_z, rngs):
+            return g_main_loss(g_apply, d_apply, p, state.params_d, mb,
+                               sample_z(rng_z, mb), rngs, weights, deterministic)
+
+        g_grads, g_stats = _accum_phase(g_loss, state.params_g, batch, rng_g,
+                                        grad_accum, make_rngs)
         g_grads = _sanitize(g_grads)
         g_updates, opt_state_g = tx_g.update(g_grads, state.opt_state_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, g_updates)
 
         # --- Dmain (fresh z, matching the reference's per-phase z split) ---
-        gen_z_d = jax.random.normal(rng_dz, (b, max_elements, z_dim))
-        (_, d_stats), d_grads = jax.value_and_grad(
-            lambda pd: d_main_loss(g_apply, d_apply, params_g, pd, batch,
-                                   gen_z_d, rngs_d, weights, deterministic),
-            has_aux=True,
-        )(state.params_d)
+        def d_loss(p, mb, rng_z, rngs):
+            return d_main_loss(g_apply, d_apply, params_g, p, mb,
+                               sample_z(rng_z, mb), rngs, weights, deterministic)
+
+        d_grads, d_stats = _accum_phase(d_loss, state.params_d, batch, rng_d,
+                                        grad_accum, make_rngs)
         d_grads = _sanitize(d_grads)
         d_updates, opt_state_d = tx_d.update(d_grads, state.opt_state_d, state.params_d)
         params_d = optax.apply_updates(state.params_d, d_updates)

@@ -69,6 +69,36 @@ def test_train_step_updates_params_and_freezes():
     assert max(diffs) >= 0  # EMA tree structurally aligned
 
 
+def test_grad_accum_matches_deterministic_terms():
+    """grad_accum=2 runs and produces finite stats; the data-dependent
+    deterministic loss terms (e.g. Dreal on real boxes) match the
+    unaccumulated step when dropout/noise are off."""
+    from layoutdetr_tpu.training.train_step import make_train_step
+
+    g, d, tx_g, tx_d, state, b = _models_and_state()
+    batch = dict(
+        bboxes=b["bbox_real"], labels=b["bbox_class"], text_ids=b["text_ids"],
+        text_mask=b["text_mask"], text_len=b["text_len"],
+        mask=~np.asarray(b["padding_mask"]), background=b["background"],
+    )
+    step2 = jax.jit(make_train_step(g.apply, d.apply, tx_g, tx_d, batch_size=2,
+                                    z_dim=TINY.z_dim, max_elements=TINY.max_elements,
+                                    deterministic=True, grad_accum=2))
+    s2, stats2 = step2(state, batch, jax.random.PRNGKey(5))
+    assert int(s2.step) == 1
+    for k, v in stats2.items():
+        assert np.isfinite(float(v)), k
+
+    step1 = jax.jit(make_train_step(g.apply, d.apply, tx_g, tx_d, batch_size=2,
+                                    z_dim=TINY.z_dim, max_elements=TINY.max_elements,
+                                    deterministic=True, grad_accum=1))
+    _, stats1 = step1(state, batch, jax.random.PRNGKey(5))
+    # Dreal real-logit scores depend only on (params, batch): the
+    # microbatched mean must match the full-batch mean.
+    np.testing.assert_allclose(float(stats2["Loss/scores/real"]),
+                               float(stats1["Loss/scores/real"]), rtol=1e-4)
+
+
 def test_dryrun_multichip_8():
     import __graft_entry__
 

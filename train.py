@@ -54,6 +54,8 @@ def parse_comma_separated_list(s):
 # Misc hyperparameters.
 @click.option("--p", "aug_p", type=click.FloatRange(min=0, max=1), default=0.2, show_default=True)
 @click.option("--target", "ada_target", type=click.FloatRange(min=0, max=1), default=0.6, show_default=True)
+@click.option("--batch-gpu", type=click.IntRange(min=1), default=None,
+              help="Microbatch size per device (grad accumulation)")
 @click.option("--glr", type=click.FloatRange(min=0), default=1e-5, show_default=True)
 @click.option("--dlr", type=click.FloatRange(min=0), default=1e-5, show_default=True)
 # Model hyperparameters (train.py:167-183).
@@ -168,6 +170,7 @@ def main(**opts):
             dtype=(jnp.bfloat16 if opts.use_bf16 else jnp.float32),
             loss_weights=weights,
             batch_size=opts.batch_size,
+            batch_gpu=opts.batch_gpu,
             glr=opts.glr,
             dlr=opts.dlr,
             total_kimg=opts.total_kimg,
