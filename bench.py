@@ -43,7 +43,7 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cc_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from __graft_entry__ import _example_batch

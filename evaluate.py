@@ -52,9 +52,16 @@ def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
         params = restored["params_gema"]
     else:
         params = restored
-    gcfg = GeneratorConfig(num_bbox_labels=dataset.num_bbox_labels,
-                           background_size=background_size,
-                           max_text_length=max_text_length)
+    import json
+    import os
+
+    if os.path.exists(ckpt + ".gcfg.json"):
+        with open(ckpt + ".gcfg.json") as f:
+            gcfg = GeneratorConfig(**json.load(f))
+    else:
+        gcfg = GeneratorConfig(num_bbox_labels=dataset.num_bbox_labels,
+                               background_size=background_size,
+                               max_text_length=max_text_length)
     g = Generator(gcfg)
 
     layoutnet_params = restore_checkpoint(layoutnet_ckpt) if layoutnet_ckpt else None

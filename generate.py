@@ -110,10 +110,14 @@ def generate_images(ckpt, bg, bg_preprocessing, strings, string_labels, outfile,
     # Accept either a full train-state checkpoint (use EMA params) or bare params.
     if isinstance(restored, dict) and "params_gema" in restored:
         params = restored["params_gema"]
-        gcfg_dict = restored.get("gcfg")
     else:
         params = restored
-        gcfg_dict = None
+    gcfg_dict = None
+    import json as _json
+
+    if os.path.exists(ckpt + ".gcfg.json"):
+        with open(ckpt + ".gcfg.json") as f:
+            gcfg_dict = _json.load(f)
     gcfg = GeneratorConfig(**gcfg_dict) if gcfg_dict else GeneratorConfig()
     # The model consumes the training background resolution.
     if background.shape[0] != gcfg.background_size:

@@ -18,6 +18,7 @@ Differences worth noting:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -230,6 +231,10 @@ def training_loop(
         ):
             snap_path = os.path.join(run_dir, f"network-snapshot-{cur_nimg // 1000:06d}")
             save_checkpoint(snap_path, state)
+            # Self-describing checkpoint: the model config rides along so
+            # generate.py/evaluate.py reconstruct the right architecture.
+            with open(snap_path + ".gcfg.json", "w") as f:
+                json.dump(dataclasses.asdict(gcfg), f)
             if metrics_fn is not None:
                 metrics_fn(state, snap_path, cur_nimg)
 

@@ -151,21 +151,71 @@ def convert_bert_encoder(sd: StateDict, num_layers: int, vocab_size: int = 30524
     return params
 
 
-def convert_bert_lm_head(sd: StateDict, num_layers: int, vocab_size: int = 30524) -> dict:
+def convert_bert_lm_head(sd: StateDict, num_layers: int, vocab_size: int = 30524,
+                         prefix: str = "") -> dict:
     """HF BertLMHeadModel/BertForMaskedLM state dict -> BertLMHeadModel params."""
-    bert = convert_bert_encoder(sd, num_layers, vocab_size, prefix="bert.")
-    decoder_kernel = _resize_vocab(sd["cls.predictions.decoder.weight"], vocab_size).T.copy()
-    bias_key = ("cls.predictions.decoder.bias" if "cls.predictions.decoder.bias" in sd
-                else "cls.predictions.bias")
+    p = prefix
+    bert = convert_bert_encoder(sd, num_layers, vocab_size, prefix=f"{p}bert.")
+    decoder_kernel = _resize_vocab(sd[f"{p}cls.predictions.decoder.weight"], vocab_size).T.copy()
+    bias_key = (f"{p}cls.predictions.decoder.bias"
+                if f"{p}cls.predictions.decoder.bias" in sd
+                else f"{p}cls.predictions.bias")
     bias = sd[bias_key]
     bias = np.concatenate([bias, np.zeros(vocab_size - bias.shape[0], bias.dtype)]) \
         if bias.shape[0] < vocab_size else bias[:vocab_size]
     cls = {
-        "transform_dense": _lin(sd, "cls.predictions.transform.dense"),
-        "transform_layernorm": _ln(sd, "cls.predictions.transform.LayerNorm"),
+        "transform_dense": _lin(sd, f"{p}cls.predictions.transform.dense"),
+        "transform_layernorm": _ln(sd, f"{p}cls.predictions.transform.LayerNorm"),
         "decoder": {"kernel": decoder_kernel, "bias": bias.copy()},
     }
     return {"bert": bert, "cls": cls}
+
+
+# ---------------------------------------------------------------------------
+# DETR transformer (training/detr_transformer.py naming; also covers the
+# UP-DETR init checkpoints, training_loop.py:138-140)
+# ---------------------------------------------------------------------------
+
+def _mha(sd: StateDict, prefix: str) -> dict:
+    return {
+        "in_proj_kernel": sd[f"{prefix}.in_proj_weight"].T.copy(),
+        "in_proj_bias": sd[f"{prefix}.in_proj_bias"].copy(),
+        "out_kernel": sd[f"{prefix}.out_proj.weight"].T.copy(),
+        "out_bias": sd[f"{prefix}.out_proj.bias"].copy(),
+    }
+
+
+def convert_detr_transformer(sd: StateDict, num_encoder_layers: int = 6,
+                             num_decoder_layers: int = 6, prefix: str = "",
+                             with_token: bool = False) -> dict:
+    """Reference Transformer/TransformerWithToken state dict ->
+    models.detr_transformer.Transformer params."""
+    p = prefix
+    params: dict = {}
+    for i in range(num_encoder_layers):
+        t = f"{p}encoder.layers.{i}"
+        params[f"encoder_layers_{i}"] = {
+            "self_attn": _mha(sd, f"{t}.self_attn"),
+            "linear1": _lin(sd, f"{t}.linear1"),
+            "linear2": _lin(sd, f"{t}.linear2"),
+            "norm1": _ln(sd, f"{t}.norm1"),
+            "norm2": _ln(sd, f"{t}.norm2"),
+        }
+    for i in range(num_decoder_layers):
+        t = f"{p}decoder.layers.{i}"
+        params[f"decoder_layers_{i}"] = {
+            "self_attn": _mha(sd, f"{t}.self_attn"),
+            "multihead_attn": _mha(sd, f"{t}.multihead_attn"),
+            "linear1": _lin(sd, f"{t}.linear1"),
+            "linear2": _lin(sd, f"{t}.linear2"),
+            "norm1": _ln(sd, f"{t}.norm1"),
+            "norm2": _ln(sd, f"{t}.norm2"),
+            "norm3": _ln(sd, f"{t}.norm3"),
+        }
+    params["decoder_norm"] = _ln(sd, f"{p}decoder.norm")
+    if with_token and f"{p}token" in sd:
+        params["token"] = sd[f"{p}token"].copy()  # [1,1,D]
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -207,6 +257,160 @@ def convert_layoutnet(sd: StateDict, num_layers: int = 4) -> dict:
         params["enc_transformer"][f"layers_{i}"] = _torch_encoder_layer(
             sd, f"enc_transformer.core.layers.{i}")
         params[f"dec_layers_{i}"] = _torch_encoder_layer(sd, f"dec_transformer.layers.{i}")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Composite converters for the full reference Generator/Discriminator
+# (networks_detr.py naming, e.g. from tools/extract_reference_pkl.py output)
+# ---------------------------------------------------------------------------
+
+def _conv1x1_as_dense(sd: StateDict, prefix: str) -> dict:
+    """torch 1x1 Conv2d [O, I, 1, 1] -> Dense kernel [I, O]."""
+    out = {"kernel": sd[f"{prefix}.weight"][:, :, 0, 0].T.copy()}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"].copy()
+    return out
+
+
+def _mlp(sd: StateDict, prefix: str, num_layers: int = 3) -> dict:
+    return {f"layers_{i}": _lin(sd, f"{prefix}.layers.{i}") for i in range(num_layers)}
+
+
+def _subdict(sd: StateDict, prefix: str) -> StateDict:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def _fcl(sd: StateDict, prefix: str) -> dict:
+    """StyleGAN2 FullyConnectedLayer [out,in] -> our weight [in,out]."""
+    out = {"weight": sd[f"{prefix}.weight"].T.copy()}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"].copy()
+    return out
+
+
+def convert_stylegan2_decoder(sd: StateDict, prefix: str = "") -> dict:
+    """Reference Decoder (mapping + synthesis, networks_stylegan2.py:971)
+    state dict -> models.stylegan2.Decoder params."""
+    p = prefix
+    mapping: dict = {}
+    i = 0
+    while f"{p}mapping.fc{i}.weight" in sd:
+        mapping[f"fc{i}"] = _fcl(sd, f"{p}mapping.fc{i}")
+        i += 1
+
+    synthesis: dict = {}
+    resolutions = sorted({int(k[len(f"{p}synthesis.b"):].split(".")[0])
+                          for k in sd if k.startswith(f"{p}synthesis.b")})
+    for res in resolutions:
+        bp = f"{p}synthesis.b{res}"
+        block: dict = {}
+        if f"{bp}.const" in sd:
+            block["const"] = np.transpose(sd[f"{bp}.const"], (1, 2, 0)).copy()  # CHW->HWC
+        for conv in ("conv0", "conv1"):
+            if f"{bp}.{conv}.weight" not in sd:
+                continue
+            entry = {
+                "weight": np.transpose(sd[f"{bp}.{conv}.weight"], (2, 3, 1, 0)).copy(),
+                "bias": sd[f"{bp}.{conv}.bias"].copy(),
+                "affine": _fcl(sd, f"{bp}.{conv}.affine"),
+            }
+            if f"{bp}.{conv}.noise_strength" in sd:
+                entry["noise_strength"] = np.asarray(sd[f"{bp}.{conv}.noise_strength"]).copy()
+            if f"{bp}.{conv}.noise_const" in sd:
+                entry["noise_const"] = sd[f"{bp}.{conv}.noise_const"].copy()
+            block[conv] = entry
+        if f"{bp}.torgb.weight" in sd:
+            block["torgb"] = {
+                "weight": np.transpose(sd[f"{bp}.torgb.weight"], (2, 3, 1, 0)).copy(),
+                "bias": sd[f"{bp}.torgb.bias"].copy(),
+                "affine": _fcl(sd, f"{bp}.torgb.affine"),
+            }
+        if f"{bp}.skip.weight" in sd:
+            block["skip"] = {"weight": np.transpose(sd[f"{bp}.skip.weight"], (2, 3, 1, 0)).copy()}
+        synthesis[f"b{res}"] = block
+    return {"mapping": mapping, "synthesis": synthesis}
+
+
+def _reconst_decoder(sd: StateDict, dec_prefix: str, fc_in: str, pos_token_key: str,
+                     num_layers: int = 6) -> dict:
+    out = {
+        "dec_fc_in": _lin(sd, fc_in),
+        "pos_token": sd[pos_token_key].squeeze(1).copy(),
+    }
+    for i in range(num_layers):
+        out[f"dec_layers_{i}"] = _torch_encoder_layer(sd, f"{dec_prefix}.layers.{i}")
+    return out
+
+
+def convert_generator(sd: StateDict, num_encoder_layers: int = 6,
+                      num_decoder_layers: int = 6, bert_encoder_layers: int = 12,
+                      bert_decoder_layers: int = 2, vocab_size: int = 30524) -> dict:
+    """Full reference Generator state dict (networks_detr.py:65-131 naming)
+    -> models.generator.Generator params."""
+    params: dict = {
+        "backbone": convert_resnet50(_subdict(sd, "backbone.0.body.")),
+        "input_proj": _conv1x1_as_dense(sd, "input_proj"),
+        "fc_z": _lin(sd, "fc_z"),
+        "emb_label": sd["emb_label.weight"].copy(),
+        "enc_text_len": sd["enc_text_len.weight"].copy(),
+        "fc_in": _mlp(sd, "fc_in"),
+        "text_encoder": {"bert": convert_bert_encoder(
+            sd, bert_encoder_layers, vocab_size, prefix="text_encoder.")},
+        "transformer": convert_detr_transformer(
+            sd, num_encoder_layers, num_decoder_layers, prefix="transformer."),
+        "bbox_embed": _mlp(sd, "bbox_embed"),
+        "fc_z_rec": _lin(sd, "fc_z_rec"),
+        "fc_out_cls": _lin(sd, "fc_out_cls"),
+        "fc_text_len_rec": _lin(sd, "fc_text_len_rec"),
+        "text_decoder": convert_bert_lm_head(
+            sd, bert_decoder_layers, vocab_size, prefix="text_decoder."),
+    }
+    return params
+
+
+def convert_discriminator(sd: StateDict, num_encoder_layers: int = 6,
+                          num_decoder_layers: int = 6, bert_encoder_layers: int = 12,
+                          bert_decoder_layers: int = 2, vocab_size: int = 30524) -> dict:
+    """Full reference Discriminator state dict (networks_detr.py:190-277
+    naming) -> models.discriminator.Discriminator params."""
+    enc_tf = convert_detr_transformer(
+        sd, num_encoder_layers, num_decoder_layers, prefix="enc_transformer.",
+        with_token=True)
+    uncond_layers = {
+        f"layers_{i}": _torch_encoder_layer(sd, f"enc_transformer_uncond.core.layers.{i}")
+        for i in range(6)
+    }
+    tok = sd["enc_transformer_uncond.token"]
+    uncond = dict(uncond_layers, token=tok.transpose(1, 0, 2).copy() if tok.ndim == 3 else tok.copy())
+    params: dict = {
+        "backbone": convert_resnet50(_subdict(sd, "backbone.0.body.")),
+        "input_proj": _conv1x1_as_dense(sd, "input_proj"),
+        "fc_bbox": _lin(sd, "fc_bbox"),
+        "emb_label": sd["emb_label.weight"].copy(),
+        "enc_text_len": sd["enc_text_len.weight"].copy(),
+        "enc_fc_in": _mlp(sd, "enc_fc_in"),
+        "text_encoder": {"bert": convert_bert_encoder(
+            sd, bert_encoder_layers, vocab_size, prefix="text_encoder.")},
+        "enc_transformer": enc_tf,
+        "fc_out_disc": _lin(sd, "fc_out_disc"),
+        "fc_bbox_uncond": _lin(sd, "fc_bbox_uncond"),
+        "emb_label_uncond": sd["emb_label_uncond.weight"].copy(),
+        "enc_fc_in_uncond": _mlp(sd, "enc_fc_in_uncond"),
+        "enc_transformer_uncond": uncond,
+        "fc_out_disc_uncond": _lin(sd, "fc_out_disc_uncond"),
+        "dec_transformer": _reconst_decoder(sd, "dec_transformer", "dec_fc_in", "pos_token"),
+        "bbox_embed": _lin(sd, "bbox_embed"),
+        "fc_out_cls": _lin(sd, "fc_out_cls"),
+        "fc_text_len_rec": _lin(sd, "fc_text_len_rec"),
+        "text_decoder": convert_bert_lm_head(
+            sd, bert_decoder_layers, vocab_size, prefix="text_decoder."),
+        "bg_decoder": convert_stylegan2_decoder(sd, prefix="bg_decoder."),
+        "dec_transformer_uncond": _reconst_decoder(
+            sd, "dec_transformer_uncond", "dec_fc_in_uncond", "pos_token_uncond"),
+        "bbox_embed_uncond": _lin(sd, "bbox_embed_uncond"),
+        "fc_out_cls_uncond": _lin(sd, "fc_out_cls_uncond"),
+    }
     return params
 
 
