@@ -44,9 +44,26 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch dict onto the mesh, batch-axis sharded."""
+    """Place a host batch dict onto the mesh, batch-axis sharded.
+
+    Single-host: a plain device_put with the sharded layout. Multi-host
+    (process_count > 1): each process holds only its slice of the global
+    batch (the InfiniteSampler already partitions the index stream by
+    process), so assemble a global array from process-local shards —
+    the SPMD analogue of the reference's per-rank DataLoader split
+    (training_loop.py:113-114).
+    """
     s = data_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    from jax.experimental import multihost_utils
+
+    def put(x):
+        if getattr(x, "ndim", 0) == 0:
+            return jax.device_put(x, replicated_sharding(mesh))
+        return multihost_utils.host_local_array_to_global_array(x, mesh, P("data"))
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):
