@@ -75,17 +75,22 @@ def generate_banners(ckpt: str, background_img: PIL.Image.Image, elements,
     tok = LayoutTokenizer(max_length=gcfg.max_text_length)
     text_ids, text_mask, text_len = tok.encode_layouts([texts_p])
 
-    apply = jax.jit(g.apply)
+    # ONE batched forward for all seeds (the reference loops G once per
+    # seed, generate_util.py:353-463 — serializing device dispatches).
+    seeds = list(range(seed_base, seed_base + num_results))
+    z = np.stack([np.random.RandomState(s).randn(9, gcfg.z_dim) for s in seeds]
+                 ).astype(np.float32)
+    rep = lambda x: np.repeat(x, num_results, axis=0)
+    bboxes = np.asarray(jax.jit(g.apply)(
+        params, z=z, bbox_class=rep(labels_p[None]),
+        bbox_real=np.zeros((num_results, 9, 4), np.float32),
+        text_ids=rep(text_ids), text_mask=rep(text_mask), text_len=rep(text_len),
+        padding_mask=rep(~mask[None]), background=rep(background[None]),
+    ))
     variants = []
-    for seed in range(seed_base, seed_base + num_results):
+    for i, seed in enumerate(seeds):
         rng = np.random.RandomState(seed)
-        z = rng.randn(1, 9, gcfg.z_dim).astype(np.float32)
-        bbox = np.asarray(apply(
-            params, z=z, bbox_class=labels_p[None],
-            bbox_real=np.zeros((1, 9, 4), np.float32),
-            text_ids=text_ids, text_mask=text_mask, text_len=text_len,
-            padding_mask=~mask[None], background=background[None],
-        ))
+        bbox = bboxes[i:i + 1]
         # Probabilistic post-processing (api_server.py:165-168).
         if rng.random_sample() < 5 / 6:
             bbox = jitter_fn(bbox, 0.2, seed)

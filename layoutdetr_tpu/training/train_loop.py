@@ -80,6 +80,33 @@ def init_models(gcfg: GeneratorConfig, dataset_sample: dict, batch_gpu: int, see
     return g, d, params_g, params_d
 
 
+def _save_image_snapshot(run_dir, g, state, dataset, gcfg, cur_nimg, n_samples=4):
+    """Save EMA-generator layout previews as bbox overlays
+    (reference: training_loop.py:372-392 saves fake grids per tick)."""
+    try:
+        import PIL.Image
+
+        from layoutdetr_tpu.data.dataset import denormalize_image
+        from layoutdetr_tpu.serving.postprocess import save_bboxes_with_background
+
+        n = min(n_samples, len(dataset))
+        b = dataset.collate(list(range(n)))
+        z = jax.random.normal(jax.random.PRNGKey(int(cur_nimg)), (n, gcfg.max_elements, gcfg.z_dim))
+        bbox_fake = np.asarray(g.apply(
+            jax.device_get(state.params_gema), z=z, bbox_real=b["bboxes"],
+            bbox_class=b["labels"], text_ids=b["text_ids"], text_mask=b["text_mask"],
+            text_len=b["text_len"], padding_mask=b["padding_mask"],
+            background=b["background"],
+        ))
+        for k in range(n):
+            bg = PIL.Image.fromarray(denormalize_image(np.asarray(b["background"][k])))
+            save_bboxes_with_background(
+                bbox_fake[k], b["mask"][k], b["labels"][k], bg,
+                os.path.join(run_dir, f"fakes{cur_nimg // 1000:06d}_{k}.png"))
+    except Exception as e:  # snapshots must never kill training
+        print(f"(image snapshot failed: {type(e).__name__}: {e})")
+
+
 def training_loop(
     run_dir: str = ".",
     data: str = "",
@@ -94,6 +121,7 @@ def training_loop(
     total_kimg: int = 25000,
     kimg_per_tick: int = 4,
     network_snapshot_ticks: int = 50,
+    image_snapshot_ticks: Optional[int] = 50,
     random_seed: int = 0,
     ema_rampup: Optional[float] = 0.05,
     stats_interval: int = 8,
@@ -225,6 +253,11 @@ def training_loop(
             progress_fn(cur_nimg // 1000, total_kimg)
         if abort_fn is not None and abort_fn():
             done = True
+
+        if is_chief and image_snapshot_ticks is not None and (
+            done or cur_tick % image_snapshot_ticks == 0
+        ):
+            _save_image_snapshot(run_dir, g, state, dataset, gcfg, cur_nimg)
 
         if is_chief and network_snapshot_ticks is not None and (
             done or cur_tick % network_snapshot_ticks == 0

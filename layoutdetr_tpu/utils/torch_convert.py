@@ -431,21 +431,29 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--kind", required=True,
-                    choices=["resnet50", "bert_encoder", "bert_lm_head", "layoutnet"])
-    ap.add_argument("--src", required=True)
+                    choices=["resnet50", "bert_encoder", "bert_lm_head", "layoutnet",
+                             "detr_transformer", "stylegan2_decoder",
+                             "generator", "discriminator"])
+    ap.add_argument("--src", required=True,
+                    help=".pth/.pth.tar state dict, or .npz from tools/extract_reference_pkl.py")
     ap.add_argument("--dest", required=True)
     ap.add_argument("--num-layers", type=int, default=12)
     args = ap.parse_args()
 
-    sd = load_torch_state_dict(args.src)
-    if args.kind == "resnet50":
-        tree = convert_resnet50(sd)
-    elif args.kind == "bert_encoder":
-        tree = convert_bert_encoder(sd, args.num_layers)
-    elif args.kind == "bert_lm_head":
-        tree = convert_bert_lm_head(sd, args.num_layers)
+    if args.src.endswith(".npz"):
+        sd = dict(np.load(args.src))
     else:
-        tree = convert_layoutnet(sd)
+        sd = load_torch_state_dict(args.src)
+    tree = {
+        "resnet50": lambda: convert_resnet50(sd),
+        "bert_encoder": lambda: convert_bert_encoder(sd, args.num_layers),
+        "bert_lm_head": lambda: convert_bert_lm_head(sd, args.num_layers),
+        "layoutnet": lambda: convert_layoutnet(sd),
+        "detr_transformer": lambda: convert_detr_transformer(sd),
+        "stylegan2_decoder": lambda: convert_stylegan2_decoder(sd),
+        "generator": lambda: convert_generator(sd),
+        "discriminator": lambda: convert_discriminator(sd),
+    }[args.kind]()
     save_checkpoint(args.dest, {"params": tree})
     print(f"converted {args.kind}: {args.src} -> {args.dest}")
 

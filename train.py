@@ -176,6 +176,7 @@ def main(**opts):
             total_kimg=opts.total_kimg,
             kimg_per_tick=opts.kimg_per_tick,
             network_snapshot_ticks=opts.snap,
+            image_snapshot_ticks=opts.snap,
             random_seed=opts.seed,
             resume=opts.resume,
             resume_kimg=opts.resume_kimg,
