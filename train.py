@@ -161,6 +161,39 @@ def main(**opts):
     from layoutdetr_tpu.training.train_loop import training_loop
     from layoutdetr_tpu.utils.logging import Logger
 
+    # In-training metric evaluation at snapshot ticks (reference:
+    # training_loop.py:413-427). Uses val.zip next to train.zip.
+    metrics_fn = None
+    metric_names = [m for m in (opts.metrics or []) if m and m != "none"]
+    if metric_names:
+        from layoutdetr_tpu.data.dataset import LayoutDataset
+        from layoutdetr_tpu.metrics import metric_main
+        from layoutdetr_tpu.models.generator import Generator
+
+        for m in metric_names:
+            if not metric_main.is_valid_metric(m):
+                raise click.ClickException(
+                    f"unknown metric {m}; valid: {metric_main.list_valid_metrics()}")
+        val_path = opts.data.replace("train.zip", "val.zip")
+        if not os.path.exists(val_path):
+            print(f"(no {val_path}; evaluating metrics on the training zip)")
+            val_path = opts.data
+        val_dataset = LayoutDataset(val_path, background_size=opts.background_size,
+                                    max_text_length=opts.max_text_length)
+        metric_g = Generator(gcfg)
+
+        def metrics_fn(state, snap_path, cur_nimg):
+            import jax as _jax
+
+            params = _jax.device_get(state.params_gema)
+            for m in metric_names:
+                result = metric_main.calc_metric(
+                    m, g_apply=metric_g.apply, params=params, dataset=val_dataset,
+                    gcfg=gcfg, layoutnet_params=None, batch=min(16, opts.batch_size),
+                    seed=opts.seed,
+                )
+                metric_main.report_metric(result, run_dir=run_dir, snapshot_path=snap_path)
+
     logger = Logger(os.path.join(run_dir, "log.txt"))
     try:
         training_loop(
@@ -185,6 +218,7 @@ def main(**opts):
             aug_p=opts.aug_p,
             ada_target=opts.ada_target,
             n_devices=opts.chips,
+            metrics_fn=metrics_fn,
         )
     finally:
         logger.close()
