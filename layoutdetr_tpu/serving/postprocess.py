@@ -9,7 +9,6 @@ branch here; the reference always fell through, SURVEY.md §7 quirks).
 
 from __future__ import annotations
 
-import colorsys
 import math
 from typing import Optional
 
@@ -25,19 +24,12 @@ LABEL2INDEX = {label: i for i, label in enumerate(LABEL_LIST)}
 
 
 def label_palette(n_colors: int = 13):
-    """Distinct label colors. Uses seaborn's husl palette when available
-    (what the reference renders with, generate.py:69); otherwise an
-    evenly-spaced HSV wheel with the same brightness character."""
-    try:
-        import seaborn as sns  # pragma: no cover
+    """Distinct label colors: the husl palette the reference renders with
+    (generate.py:69 seaborn color_palette('husl')), via the self-contained
+    HUSL implementation in utils/husl.py."""
+    from layoutdetr_tpu.utils.husl import husl_palette
 
-        return [tuple(int(x * 255) for x in c) for c in sns.color_palette("husl", n_colors)]
-    except ImportError:
-        cols = []
-        for i in range(n_colors):
-            r, g, b = colorsys.hls_to_rgb(i / n_colors, 0.6, 0.65)
-            cols.append((int(r * 255), int(g * 255), int(b * 255)))
-        return cols
+    return [tuple(int(x * 255) for x in c) for c in husl_palette(n_colors)]
 
 
 def convert_xywh_to_ltrb(bbox):

@@ -38,7 +38,12 @@ from layoutdetr_tpu.training.optimizers import (
     G_FROZEN_SUBSTRINGS,
     build_optimizer,
 )
-from layoutdetr_tpu.training.train_step import GANTrainState, make_train_step
+from layoutdetr_tpu.training.train_step import (
+    GANTrainState,
+    make_d_reg_step,
+    make_g_reg_step,
+    make_train_step,
+)
 from layoutdetr_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 from layoutdetr_tpu.utils.logging import StatsJsonlWriter, TensorboardWriter
 from layoutdetr_tpu.utils.stats import Collector
@@ -182,6 +187,20 @@ def training_loop(
         donate_argnums=(0,),
     )
 
+    # Lazy regularization steps (reference phases Greg/Dreg,
+    # training_loop.py:184-197): compiled only when their weights are
+    # nonzero (loss.py:77-80 no-ops them otherwise).
+    g_reg_fn = d_reg_fn = None
+    if loss_weights.pl_weight > 0 and g_reg_interval:
+        g_reg_fn = jax.jit(make_g_reg_step(
+            g.apply, tx_g, loss_weights, z_dim=gcfg.z_dim,
+            max_elements=gcfg.max_elements, gain=float(g_reg_interval)),
+            donate_argnums=(0,))
+    if loss_weights.r1_gamma > 0 and d_reg_interval:
+        d_reg_fn = jax.jit(make_d_reg_step(
+            d.apply, tx_d, loss_weights, gain=float(d_reg_interval)),
+            donate_argnums=(0,))
+
     collector = Collector()
     jsonl = StatsJsonlWriter(os.path.join(run_dir, "stats.jsonl")) if is_chief else None
     tb = TensorboardWriter(run_dir) if is_chief else None
@@ -213,6 +232,14 @@ def training_loop(
         batch = shard_batch(host_batch, mesh)
         rng, step_rng = jax.random.split(rng)
         state, stats = step_fn(state, batch, step_rng)
+        if g_reg_fn is not None and batch_idx % g_reg_interval == 0:
+            rng, reg_rng = jax.random.split(rng)
+            state, reg_stats = g_reg_fn(state, batch, reg_rng)
+            stats = dict(stats, **reg_stats)
+        if d_reg_fn is not None and batch_idx % d_reg_interval == 0:
+            rng, reg_rng = jax.random.split(rng)
+            state, reg_stats = d_reg_fn(state, batch, reg_rng)
+            stats = dict(stats, **reg_stats)
         if batch_idx % stats_interval == 0:
             if pending_stats is not None:
                 collector.report_dict(pending_stats)

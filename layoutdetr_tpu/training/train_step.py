@@ -27,7 +27,13 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from layoutdetr_tpu.training.loss import LossWeights, d_main_loss, g_main_loss
+from layoutdetr_tpu.training.loss import (
+    LossWeights,
+    d_main_loss,
+    d_r1_loss,
+    g_main_loss,
+    g_pl_loss,
+)
 
 
 @flax.struct.dataclass
@@ -177,5 +183,52 @@ def make_train_step(
         stats = dict(g_stats)
         stats.update(d_stats)
         return new_state, stats
+
+    return step
+
+
+def make_g_reg_step(g_apply: Callable, tx_g: optax.GradientTransformation,
+                    weights: LossWeights, z_dim: int = 4, max_elements: int = 9,
+                    gain: float = 4.0):
+    """Gpl lazy-regularization step (loss.py:119-142), run every
+    G_reg_interval batches with loss scaled by the interval (the
+    reference's gain=phase.interval, training_loop.py:298)."""
+
+    def step(state: GANTrainState, batch: Dict[str, Any], rng: jax.Array):
+        rng_z, rng_n = jax.random.split(rng)
+        b = batch["labels"].shape[0]
+        z = jax.random.normal(rng_z, (b, max_elements, z_dim))
+
+        def loss_fn(pg):
+            loss, new_pl_mean, stats = g_pl_loss(
+                g_apply, pg, batch, z, {"pl_noise": rng_n}, weights, state.pl_mean)
+            return loss * gain, (new_pl_mean, stats)
+
+        (_, (new_pl_mean, stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params_g)
+        grads = _sanitize(grads)
+        updates, opt_state_g = tx_g.update(grads, state.opt_state_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, updates)
+        return state.replace(params_g=params_g, opt_state_g=opt_state_g,
+                             pl_mean=new_pl_mean), stats
+
+    return step
+
+
+def make_d_reg_step(d_apply: Callable, tx_d: optax.GradientTransformation,
+                    weights: LossWeights, gain: float = 16.0):
+    """Dr1 lazy-regularization step (loss.py:209-215)."""
+
+    def step(state: GANTrainState, batch: Dict[str, Any], rng: jax.Array):
+        del rng
+
+        def loss_fn(pd):
+            loss, stats = d_r1_loss(d_apply, pd, batch, None, weights)
+            return loss * gain, stats
+
+        (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params_d)
+        grads = _sanitize(grads)
+        updates, opt_state_d = tx_d.update(grads, state.opt_state_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, updates)
+        return state.replace(params_d=params_d, opt_state_d=opt_state_d), stats
 
     return step

@@ -99,6 +99,33 @@ def test_grad_accum_matches_deterministic_terms():
                                float(stats1["Loss/scores/real"]), rtol=1e-4)
 
 
+def test_reg_steps_run_and_update():
+    """Gpl and Dr1 lazy-regularization steps execute and move params."""
+    from layoutdetr_tpu.training.loss import LossWeights
+    from layoutdetr_tpu.training.train_step import make_d_reg_step, make_g_reg_step
+
+    g, d, tx_g, tx_d, state, b = _models_and_state()
+    batch = dict(
+        bboxes=b["bbox_real"], labels=b["bbox_class"], text_ids=b["text_ids"],
+        text_mask=b["text_mask"], text_len=b["text_len"],
+        mask=~np.asarray(b["padding_mask"]), background=b["background"],
+    )
+    w = LossWeights(pl_weight=2.0, r1_gamma=1.0)
+
+    g_reg = jax.jit(make_g_reg_step(g.apply, tx_g, w, z_dim=TINY.z_dim,
+                                    max_elements=TINY.max_elements, gain=4.0))
+    s1, stats = g_reg(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(stats["Loss/pl_penalty"]))
+    assert float(s1.pl_mean) != 0.0  # EMA of path lengths moved
+
+    d_reg = jax.jit(make_d_reg_step(d.apply, tx_d, w, gain=16.0))
+    s2, stats_d = d_reg(s1, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(stats_d["Loss/r1_penalty"]))
+    old = jax.tree_util.tree_leaves(s1.params_d)[0]
+    new = jax.tree_util.tree_leaves(s2.params_d)[0]
+    assert old.shape == new.shape
+
+
 def test_dryrun_multichip_8():
     import __graft_entry__
 
