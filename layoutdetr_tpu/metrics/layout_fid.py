@@ -72,17 +72,41 @@ def generate_layouts(opts, indices, batch: int = 16):
         yield np.asarray(bbox_fake), b
 
 
+def _real_stats_cache_path(opts, n):
+    """Cache key for real-dataset feature stats (the reference md5-caches
+    dataset stats, metric_utils_layout.py:205-222)."""
+    import hashlib
+    import os
+
+    ds = opts.dataset
+    ident = getattr(ds, "_path", None) or getattr(getattr(ds, "_ds", None), "_path", None) \
+        or getattr(ds, "name", "ds")
+    has_weights = opts.get("layoutnet_params") is not None
+    key = hashlib.md5(f"{ident}|{n}|{has_weights}".encode()).hexdigest()[:16]
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "layoutdetr_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, f"layout-fid-real-{key}.npz")
+
+
 def compute_layout_fid(opts, max_items: int = 50000) -> float:
     dataset = opts.dataset
     feat_fn = _layoutnet(opts)
     n = min(len(dataset), max_items)
     indices = list(range(n))
 
-    real_feats = []
-    for i in range(0, n, 64):
-        b = dataset.collate(indices[i:i + 64])
-        real_feats.append(np.asarray(feat_fn(b["bboxes"], b["labels"], b["padding_mask"])))
-    real = np.concatenate(real_feats)
+    cache_path = _real_stats_cache_path(opts, n)
+    import os
+
+    if opts.get("cache_real_stats", True) and os.path.exists(cache_path):
+        cached = np.load(cache_path)
+        mu_r, sig_r = cached["mu"], cached["sigma"]
+        real = None
+    else:
+        real_feats = []
+        for i in range(0, n, 64):
+            b = dataset.collate(indices[i:i + 64])
+            real_feats.append(np.asarray(feat_fn(b["bboxes"], b["labels"], b["padding_mask"])))
+        real = np.concatenate(real_feats)
 
     fake_feats = []
     for bbox_fake, b in generate_layouts(opts, indices, batch=opts.get("batch", 16)):
@@ -90,5 +114,8 @@ def compute_layout_fid(opts, max_items: int = 50000) -> float:
     fake = np.concatenate(fake_feats)
 
     mu_f, sig_f = gaussian_stats(fake)
-    mu_r, sig_r = gaussian_stats(real)
+    if real is not None:
+        mu_r, sig_r = gaussian_stats(real)
+        if opts.get("cache_real_stats", True):
+            np.savez(cache_path, mu=mu_r, sigma=sig_r)
     return frechet_distance(mu_f, sig_f, mu_r, sig_r)
