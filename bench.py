@@ -39,6 +39,8 @@ def main():
     parser.add_argument("--text-len", type=int, default=128)
     parser.add_argument("--fp32", action="store_true",
                         help="fp32 activations (default: bf16 on the MXU)")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the timed steps")
     args = parser.parse_args()
 
     import jax
@@ -109,12 +111,16 @@ def main():
         state, stats = step(state, batch, sk)
     jax.block_until_ready(state.params_g)
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
     for i in range(args.steps):
         rng, sk = jax.random.split(rng)
         state, stats = step(state, batch, sk)
     jax.block_until_ready(state.params_g)
     dt = time.perf_counter() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
 
     n_chips = len(jax.devices())
     imgs_per_sec_per_chip = b * args.steps / dt / n_chips

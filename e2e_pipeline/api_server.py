@@ -20,12 +20,19 @@ import base64
 import io
 import json
 import os
+import sys
 import tempfile
 import uuid
 from typing import Dict, Optional
 
 import numpy as np
 import PIL.Image
+
+# Running as `python e2e_pipeline/api_server.py` puts this directory on
+# sys.path, not the repo root; make the package importable either way.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 _MODEL_CACHE: Dict[str, object] = {}
 
@@ -39,6 +46,9 @@ def load_model(ckpt: str):
         restored = restore_checkpoint(ckpt)
         params = restored["params_gema"] if isinstance(restored, dict) and "params_gema" in restored else restored
         gcfg = GeneratorConfig()
+        if os.path.exists(ckpt + ".gcfg.json"):
+            with open(ckpt + ".gcfg.json") as f:
+                gcfg = GeneratorConfig(**json.load(f))
         _MODEL_CACHE[ckpt] = (Generator(gcfg), params, gcfg)
     return _MODEL_CACHE[ckpt]
 
@@ -194,6 +204,9 @@ def run_stdlib_server(port: int = 5000):
                 payload = json.dumps(result).encode()
                 self.send_response(200)
             except Exception as e:  # surface errors as JSON
+                import traceback
+
+                traceback.print_exc()
                 payload = json.dumps({"error": str(e)}).encode()
                 self.send_response(500)
             self.send_header("Content-Type", "application/json")
