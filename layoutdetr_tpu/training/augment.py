@@ -56,10 +56,63 @@ class AugmentConfig:
     contrast_std: float = 0.5
     hue_max: float = 1.0
     saturation_std: float = 1.0
+    imgfilter: float = 1.0
+    imgfilter_bands: tuple = (1.0, 1.0, 1.0, 1.0)
+    imgfilter_std: float = 1.0
     noise: float = 1.0
     cutout: float = 1.0
     noise_std: float = 0.1
     cutout_size: float = 0.5
+
+
+def _build_fbank(num_bands: int = 4):
+    """4-band wavelet filter bank for image-space filtering.
+
+    Same construction as the reference (augment.py:172-182): sym2
+    low/high autocorrelations cascaded with zero-upsampling, yielding
+    per-octave bandpass filters whose gains sum to an allpass.
+    """
+    import numpy as onp
+    import scipy.signal
+
+    sym2 = onp.asarray([-0.12940952255092145, 0.22414386804185735,
+                        0.836516303737469, 0.48296291314469025])
+    hz_lo = sym2
+    hz_hi = hz_lo * ((-1) ** onp.arange(hz_lo.size))
+    hz_lo2 = onp.convolve(hz_lo, hz_lo[::-1]) / 2
+    hz_hi2 = onp.convolve(hz_hi, hz_hi[::-1]) / 2
+    fbank = onp.eye(num_bands, 1)
+    for i in range(1, num_bands):
+        fbank = onp.dstack([fbank, onp.zeros_like(fbank)]).reshape(num_bands, -1)[:, :-1]
+        fbank = scipy.signal.convolve(fbank, [hz_lo2])
+        lo = (fbank.shape[1] - hz_hi2.size) // 2
+        fbank[i, lo:lo + hz_hi2.size] += hz_hi2
+    return fbank.astype(onp.float32)
+
+
+_FBANK = _build_fbank()
+
+
+def _apply_imgfilter(images, hz_prime):
+    """Per-sample separable FIR filtering with reflect padding
+    (augment.py:396-404). images [B,H,W,C]; hz_prime [B,T]."""
+    t = hz_prime.shape[-1]
+    p = t // 2
+    c = images.shape[-1]
+
+    def one(img, k):
+        x = jnp.pad(img, ((p, p), (p, p), (0, 0)), mode="reflect")[None]
+        kx = jnp.broadcast_to(k[None, :, None, None], (1, t, 1, c))
+        x = jax.lax.conv_general_dilated(
+            x, kx, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
+        ky = jnp.broadcast_to(k[:, None, None, None], (t, 1, 1, c))
+        x = jax.lax.conv_general_dilated(
+            x, ky, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
+        return x[0]
+
+    return jax.vmap(one)(images, hz_prime)
 
 
 def _rot2d(theta):
@@ -126,7 +179,7 @@ def augment_pipe(images, p, rng, cfg: AugmentConfig = AugmentConfig()):
     ``p`` may be a traced scalar (the ADA-controlled value).
     """
     b = images.shape[0]
-    keys = jax.random.split(rng, 16)
+    keys = jax.random.split(rng, 17)
     p = jnp.asarray(p, jnp.float32)
 
     def fires(key, strength):
@@ -203,6 +256,23 @@ def augment_pipe(images, p, rng, cfg: AugmentConfig = AugmentConfig()):
     rgb1 = jnp.concatenate([images, jnp.ones_like(images[..., :1])], axis=-1)
     images = jnp.einsum("bij,bhwj->bhwi", c, rgb1,
                         precision=jax.lax.Precision.HIGHEST)[..., :3]
+
+    # --- Image-space filtering (augment.py:374-404) ---
+    if cfg.imgfilter > 0:
+        num_bands = _FBANK.shape[0]
+        expected_power = jnp.asarray([10.0, 1.0, 1.0, 1.0]) / 13.0
+        kf = jax.random.split(keys[16], 2 * num_bands + 2)
+        gvec = jnp.ones((b, num_bands))
+        for i, band_strength in enumerate(cfg.imgfilter_bands):
+            t_i = jnp.exp2(jax.random.normal(kf[2 * i], (b,)) * cfg.imgfilter_std)
+            gate = jax.random.uniform(kf[2 * i + 1], (b,)) < p * cfg.imgfilter * band_strength
+            t_i = jnp.where(gate, t_i, 1.0)
+            tvec = jnp.ones((b, num_bands)).at[:, i].set(t_i)
+            tvec = tvec / jnp.sqrt(
+                (expected_power * jnp.square(tvec)).sum(-1, keepdims=True))
+            gvec = gvec * tvec
+        hz_prime = gvec @ jnp.asarray(_FBANK)  # [B, taps]
+        images = _apply_imgfilter(images, hz_prime)
 
     # --- Noise + cutout (augment.py:399-434) ---
     kn = jax.random.split(keys[15], 4)
