@@ -45,10 +45,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cc_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from __graft_entry__ import _enable_comp_cache, _example_batch
 
-    from __graft_entry__ import _example_batch
+    _enable_comp_cache()  # TPU only; CPU AOT reloads are unsafe on this host
     from layoutdetr_tpu.models.discriminator import Discriminator
     from layoutdetr_tpu.models.generator import Generator, GeneratorConfig
     from layoutdetr_tpu.training.optimizers import (

@@ -85,6 +85,9 @@ def init_models(gcfg: GeneratorConfig, dataset_sample: dict, batch_gpu: int, see
     return g, d, params_g, params_d
 
 
+_SNAPSHOT_JIT_CACHE: dict = {}
+
+
 def _save_image_snapshot(run_dir, g, state, dataset, gcfg, cur_nimg, n_samples=4):
     """Save EMA-generator layout previews as bbox overlays
     (reference: training_loop.py:372-392 saves fake grids per tick)."""
@@ -97,8 +100,15 @@ def _save_image_snapshot(run_dir, g, state, dataset, gcfg, cur_nimg, n_samples=4
         n = min(n_samples, len(dataset))
         b = dataset.collate(list(range(n)))
         z = jax.random.normal(jax.random.PRNGKey(int(cur_nimg)), (n, gcfg.max_elements, gcfg.z_dim))
-        bbox_fake = np.asarray(g.apply(
-            jax.device_get(state.params_gema), z=z, bbox_real=b["bboxes"],
+        # jit is essential: an unjitted forward dispatches op-by-op,
+        # which on remote-compile TPU backends means hundreds of tiny
+        # compiles. Cached across ticks.
+        jitted = _SNAPSHOT_JIT_CACHE.get(id(g))
+        if jitted is None:
+            jitted = jax.jit(g.apply)
+            _SNAPSHOT_JIT_CACHE[id(g)] = jitted
+        bbox_fake = np.asarray(jitted(
+            state.params_gema, z=z, bbox_real=b["bboxes"],
             bbox_class=b["labels"], text_ids=b["text_ids"], text_mask=b["text_mask"],
             text_len=b["text_len"], padding_mask=b["padding_mask"],
             background=b["background"],
