@@ -52,10 +52,19 @@ class GeneratorConfig:
     dropout: float = 0.1
     background_size: int = 256
     backbone: str = "resnet50"  # or "vit" (networks_vit alternative)
+    # BERT FFN width (med_config.json intermediate_size; 3072 at width 768).
+    bert_intermediate_size: int = 3072
+    bert_max_position_embeddings: int = 512
 
     def encoder_bert_config(self):
+        # hidden_size follows bert_f_dim: the reference requires the text
+        # CLS feature width to equal bert_f_dim (fc_in input is 4x that,
+        # networks_detr.py:97), so the two are one knob here.
         return BertConfig(
             vocab_size=self.vocab_size,
+            hidden_size=self.bert_f_dim,
+            intermediate_size=self.bert_intermediate_size,
+            max_position_embeddings=self.bert_max_position_embeddings,
             num_hidden_layers=self.bert_num_encoder_layers,
             num_attention_heads=self.bert_num_heads,
             encoder_width=self.bert_f_dim,
@@ -64,6 +73,9 @@ class GeneratorConfig:
     def decoder_bert_config(self):
         return BertConfig(
             vocab_size=self.vocab_size,
+            hidden_size=self.bert_f_dim,
+            intermediate_size=self.bert_intermediate_size,
+            max_position_embeddings=self.bert_max_position_embeddings,
             num_hidden_layers=self.bert_num_decoder_layers,
             num_attention_heads=self.bert_num_heads,
             encoder_width=self.im_f_dim,

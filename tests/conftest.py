@@ -68,6 +68,11 @@ def import_reference_module(name):
         "skimage", "skimage.transform",
         "pytorch_fid", "pytorch_fid.fid_score",
         "pkg_resources",
+        "timm", "timm.models", "timm.models.hub",
+        "timm.models.vision_transformer", "timm.models.registry",
+        "timm.models.layers", "timm.models.helpers",
+        "fairscale", "fairscale.nn", "fairscale.nn.checkpoint",
+        "fairscale.nn.checkpoint.checkpoint_activations",
     ]:
         if stub_name not in sys.modules:
             mod = types.ModuleType(stub_name)
@@ -78,11 +83,43 @@ def import_reference_module(name):
             mod.__spec__ = importlib.machinery.ModuleSpec(stub_name, loader=None)
             if stub_name == "pytorch_fid.fid_score":
                 mod.calculate_frechet_distance = None
+            if stub_name == "timm.models.hub":
+                mod.download_cached_file = None
+            if stub_name == "timm.models.vision_transformer":
+                import torch as _torch
+
+                mod._cfg = lambda **kw: kw
+                mod.PatchEmbed = _torch.nn.Module
+            if stub_name == "timm.models.registry":
+                mod.register_model = lambda fn: fn
+            if stub_name == "timm.models.layers":
+                import torch as _torch
+
+                mod.trunc_normal_ = _torch.nn.init.trunc_normal_
+                mod.DropPath = _torch.nn.Identity
+            if stub_name == "timm.models.helpers":
+                mod.named_apply = None
+                mod.adapt_input_conv = None
+            if stub_name == "fairscale.nn.checkpoint.checkpoint_activations":
+                mod.checkpoint_wrapper = lambda m, *a, **k: m
             if stub_name == "pkg_resources":
                 from packaging.version import parse as _parse_version
 
                 mod.parse_version = _parse_version
             sys.modules[stub_name] = mod
+
+    # transformers >= 4.3x moved these helpers (imported by the reference's
+    # training/med.py:42-46) from modeling_utils to pytorch_utils; alias
+    # them back so the reference imports under the installed version.
+    try:
+        from transformers import modeling_utils as _mu, pytorch_utils as _pu
+
+        for fn in ("apply_chunking_to_forward", "find_pruneable_heads_and_indices",
+                   "prune_linear_layer"):
+            if not hasattr(_mu, fn):
+                setattr(_mu, fn, getattr(_pu, fn))
+    except Exception:
+        pass
 
     if REFERENCE_ROOT not in sys.path:
         sys.path.append(REFERENCE_ROOT)
