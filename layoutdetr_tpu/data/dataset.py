@@ -192,6 +192,10 @@ class LayoutDataset:
         if self.load_patches:
             for key in ("patches", "patches_orig", "patch_masks"):
                 batch[key] = np.stack([it[key] for it in items])
+        if self.load_background_orig:
+            batch["background_orig"] = np.stack([it["background_orig"] for it in items])
+            batch["W_page"] = np.array([it["W_page"] for it in items], np.int64)
+            batch["H_page"] = np.array([it["H_page"] for it in items], np.int64)
         return batch
 
 

