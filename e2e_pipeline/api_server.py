@@ -83,6 +83,7 @@ def generate_banners(ckpt: str, background_img: PIL.Image.Image, elements,
     background = normalize_image(bg)
 
     tok = LayoutTokenizer(max_length=gcfg.max_text_length)
+    tok.require_hf_for_checkpoint(ckpt)
     text_ids, text_mask, text_len = tok.encode_layouts([texts_p])
 
     # ONE batched forward for all seeds (the reference loops G once per
@@ -125,6 +126,7 @@ def generate_banners(ckpt: str, background_img: PIL.Image.Image, elements,
 # ---------------------------------------------------------------------------
 
 UPLOAD_DIR = os.path.join(tempfile.gettempdir(), "layoutdetr_uploads")
+GENERATED_DIR = os.path.join(tempfile.gettempdir(), "layoutdetr_generated")
 CKPT = os.environ.get("LAYOUTDETR_CKPT", "pretrained/layoutdetr_ad_banner")
 
 
@@ -144,33 +146,59 @@ def handle_prediction(body: dict) -> dict:
     background = PIL.Image.open(path).convert("RGB")
     elements = body.get("contentStyle", {}).get("elements", [])
     num_results = int(body.get("numResults", 5))
-    results = generate_banners(CKPT, background, elements, num_results)
+    results = generate_banners(CKPT, background, elements, num_results,
+                               output_dir=GENERATED_DIR)
     return {"results": results}
 
 
 def handle_update(body: dict) -> dict:
-    """Re-render edited HTML (reference /update re-screenshots it)."""
-    html = body["html"]
-    stem = os.path.join(UPLOAD_DIR, f"update_{uuid.uuid4().hex[:8]}")
-    with open(stem + ".html", "w") as f:
-        f.write(html)
-    try:
-        from layoutdetr_tpu.serving.render import make_browser
+    """Save edited HTMLs and re-screenshot each (reference
+    api_server.py:188-245): request {"editedHTMLs": [{"htmlName",
+    "htmlContent"}]} -> {"updatedStatus": [{"htmlName", "status"}]}.
+    The refreshed screenshot is cropped to the original banner size and
+    thumbnailed to 600x400 as ``<name>_vis.png``."""
+    os.makedirs(GENERATED_DIR, exist_ok=True)
+    w_thumb, h_thumb = 600, 400  # thumbnail resolution (api_server.py:198)
+    updated = []
+    for item in body["editedHTMLs"]:
+        html_name = item["htmlName"]
+        status = "success"
+        try:
+            html_path = os.path.join(GENERATED_DIR, os.path.basename(html_name))
+            with open(html_path, "w") as f:
+                f.write(item["htmlContent"])
 
-        browser = make_browser()
-        browser.get("file:///" + stem + ".html")
-        png = browser.get_screenshot_as_png()
-        with open(stem + ".png", "wb") as f:
-            f.write(png)
-        return {"image": stem + ".png"}
-    except Exception as e:
-        return {"error": f"browser unavailable: {e}", "html": stem + ".html"}
+            stem, _ = os.path.splitext(html_path)
+            original = PIL.Image.open(stem + ".png")
+            w_page, h_page = original.size
+
+            from layoutdetr_tpu.serving.render import make_browser
+
+            browser = make_browser()
+            browser.get("file:///" + html_path)
+            png = browser.get_screenshot_as_png()
+            shot = PIL.Image.open(io.BytesIO(png)).crop([0, 0, w_page, h_page])
+            if w_page > w_thumb or h_page > h_thumb:
+                shot.thumbnail((w_thumb, h_thumb), PIL.Image.LANCZOS)
+            shot.save(stem + "_vis.png")
+        except Exception as e:
+            print(f"/update {html_name}: {e}")
+            status = "error"
+        updated.append({"htmlName": html_name, "status": status})
+    return {"updatedStatus": updated}
+
+
+def handle_save(body: dict) -> dict:
+    """Dummy save endpoint (reference api_server.py:248-253)."""
+    del body
+    return {"status": "success"}
 
 
 ROUTES = {
     "/upload": handle_upload,
     "/prediction": handle_prediction,
     "/update": handle_update,
+    "/save": handle_save,
 }
 
 
@@ -181,10 +209,11 @@ def create_flask_app():
     for route, handler in ROUTES.items():
         def make_view(h):
             def view():
-                return jsonify(h(request.get_json(force=True)))
+                return jsonify(h(request.get_json(force=True, silent=True) or {}))
             return view
 
-        app.add_url_rule(route, route.strip("/"), make_view(handler), methods=["POST"])
+        methods = ["GET", "POST"] if route == "/save" else ["POST"]
+        app.add_url_rule(route, route.strip("/"), make_view(handler), methods=methods)
     return app
 
 
@@ -192,6 +221,18 @@ def run_stdlib_server(port: int = 5000):
     from http.server import BaseHTTPRequestHandler, HTTPServer
 
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            # /save accepts GET too (reference api_server.py:248).
+            if self.path == "/save":
+                payload = json.dumps(handle_save({})).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+            else:
+                self.send_error(404)
+
         def do_POST(self):
             handler = ROUTES.get(self.path)
             if handler is None:

@@ -36,10 +36,13 @@ def parse_comma_separated_list(s):
 @click.option("--max-items", type=int, default=50000, show_default=True)
 @click.option("--layoutnet-ckpt", type=str, default=None,
               help="Converted LayoutNet weights (pytree) for reference-scale layout-FID")
+@click.option("--inception-ckpt", type=str, default=None,
+              help="InceptionV3 weights (.npz / torch .pth, pytorch-fid naming) "
+                   "for reference-scale image FID")
 @click.option("--seed", type=int, default=0, show_default=True)
 @click.option("--run-dir", type=str, default=".", show_default=True)
 def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
-         max_items, layoutnet_ckpt, seed, run_dir):
+         max_items, layoutnet_ckpt, inception_ckpt, seed, run_dir):
     from layoutdetr_tpu.data.dataset import LayoutDataset
     from layoutdetr_tpu.metrics import metric_main
     from layoutdetr_tpu.models.generator import Generator, GeneratorConfig
@@ -47,6 +50,7 @@ def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
 
     dataset = LayoutDataset(data, background_size=background_size,
                             max_text_length=max_text_length)
+    dataset.tokenizer.require_hf_for_checkpoint(ckpt)
     restored = restore_checkpoint(ckpt)
     if isinstance(restored, dict) and "params_gema" in restored:
         params = restored["params_gema"]
@@ -73,8 +77,8 @@ def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
         result = metric_main.calc_metric(
             metric,
             g_apply=g.apply, params=params, dataset=dataset, gcfg=gcfg,
-            layoutnet_params=layoutnet_params, batch=batch_size,
-            seed=seed, max_items=max_items,
+            layoutnet_params=layoutnet_params, inception_params=inception_ckpt or None,
+            batch=batch_size, seed=seed, max_items=max_items,
         )
         metric_main.report_metric(result, run_dir=run_dir, snapshot_path=ckpt)
 

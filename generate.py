@@ -130,6 +130,7 @@ def generate_images(ckpt, bg, bg_preprocessing, strings, string_labels, outfile,
         background = normalize_image(background)
 
     tok = LayoutTokenizer(max_length=gcfg.max_text_length)
+    tok.require_hf_for_checkpoint(ckpt)
     text_ids, text_mask, text_len = tok.encode_layouts([texts_padded])
 
     g = Generator(gcfg)

@@ -70,7 +70,7 @@ def report_metric(result_dict: EasyDict, run_dir: Optional[str] = None,
 def layout_fid50k_val(opts):
     from layoutdetr_tpu.metrics.layout_fid import compute_layout_fid
 
-    fid = compute_layout_fid(opts, max_items=50000)
+    fid = compute_layout_fid(opts, max_items=opts.get("max_items") or 50000)
     return {"layout_fid50k_val": fid}
 
 
@@ -78,51 +78,107 @@ def layout_fid50k_val(opts):
 def overlap50k_alignment50k_layoutwise_iou50k_layoutwise_docsim50k_val(opts):
     from layoutdetr_tpu.metrics.eval_metrics import compute_layout_eval_suite
 
-    return compute_layout_eval_suite(opts, max_items=50000)
+    return compute_layout_eval_suite(opts, max_items=opts.get("max_items") or 50000)
 
 
 @register_metric
 def fid50k_val(opts):
     from layoutdetr_tpu.metrics.image_fid import compute_image_fid
 
-    return {"fid50k_val": compute_image_fid(opts, max_items=50000)}
+    return {"fid50k_val": compute_image_fid(opts, max_items=opts.get("max_items") or 50000)}
+
+
+# Per-label HTML element specs (rendering_utils.py:34-118): the template
+# only defines specs for header(0), body(3), disclaimer/footnote(4) and
+# button(5); pages containing any other label are skipped.
+_RENDER_SPECS = {
+    0: {"type": "header", "style": {"fontFamily": "Arial", "color": "",
+                                    "fontFormat": "bold"}},
+    3: {"type": "body", "style": {"fontFamily": "Arial", "color": ""}},
+    5: {"type": "button",
+        "buttonParams": {"backgroundColor": "", "backgroundImage": "", "radius": 0.5},
+        "style": {"fontFamily": "Arial", "color": ""}},
+    4: {"type": "disclaimer / footnote", "style": {"fontFamily": "Arial", "color": ""}},
+}
 
 
 @register_metric
 def rendering_val(opts):
-    """Qualitative rendering pass: render generated banners for val
-    layouts with <=4 uniquely-typed elements (parity:
-    metrics/rendering_utils.py:99-301, incl. the :153-167 filter).
-    Writes PNG/HTML next to the run dir; reports the rendered count."""
-    import numpy as np
-
-    from layoutdetr_tpu.metrics.layout_fid import generate_layouts
-    from layoutdetr_tpu.serving.postprocess import LABEL_LIST
-    from layoutdetr_tpu.serving.render import visualize_banner
+    """Qualitative rendering pass (parity: rendering_utils.py:99-301):
+    renders BOTH generated and real banners side by side into
+    ``rendering_fake/`` and ``rendering_real/``, at original page size,
+    for val layouts passing the reference filter (<=4 elements, labels
+    only from {header, body, disclaimer, button}, each at most once,
+    :153-167). Fakes are center-aligned + de-overlapped first
+    (:151-152). Reports counts and output dirs."""
+    import copy
     import os
+
+    import numpy as np
     import PIL.Image
 
-    from layoutdetr_tpu.data.dataset import denormalize_image
+    from layoutdetr_tpu.config import EasyDict
+    from layoutdetr_tpu.data.dataset import LayoutDataset, denormalize_image
+    from layoutdetr_tpu.metrics.layout_fid import generate_layouts
+    from layoutdetr_tpu.serving.postprocess import de_overlap, horizontal_center_aligned
+    from layoutdetr_tpu.serving.render import visualize_banner
 
-    out_dir = opts.get("render_dir", "rendered_val")
-    os.makedirs(out_dir, exist_ok=True)
-    n = min(len(opts.dataset), opts.get("max_render", 64))
+    out_root = opts.get("render_dir", "rendered_val")
+    fake_dir = os.path.join(out_root, "rendering_fake")
+    real_dir = os.path.join(out_root, "rendering_real")
+    os.makedirs(fake_dir, exist_ok=True)
+    os.makedirs(real_dir, exist_ok=True)
+
+    # Original-resolution backgrounds for rendering (the reference
+    # resizes background_orig to page size, rendering_utils.py:173-177).
+    ds = opts.dataset
+    try:
+        bds = LayoutDataset(ds._path, background_size=ds.background_size,
+                            load_background_orig=True, tokenizer=ds.tokenizer)
+        bds[0]
+        opts = EasyDict(dict(opts, dataset=bds))
+    except Exception:
+        bds = None  # fall back to training-resolution backgrounds
+
+    dataset = opts.dataset
+    n = min(len(dataset), opts.get("max_render", 64))
     rendered = 0
     item_idx = 0
     for bbox_fake, b in generate_layouts(opts, list(range(n)), batch=opts.get("batch", 16)):
+        # Post-process fakes exactly as the reference (:151-152).
+        bbox_fake = de_overlap(horizontal_center_aligned(bbox_fake, b["mask"]), b["mask"])
         for k in range(bbox_fake.shape[0]):
             mask = b["mask"][k]
-            labels = b["labels"][k][mask]
-            texts = opts.dataset[item_idx]["texts"]
+            item = dataset[item_idx]
+            texts = item["texts"]
             item_idx += 1
-            # <=4 elements with unique types (rendering_utils.py:153-167).
-            if mask.sum() > 4 or len(set(labels.tolist())) != len(labels):
+            labels = b["labels"][k]
+            valid_labels = labels[mask].tolist()
+            # Filter (:153-167): <=4 elements, only renderable types,
+            # each type at most once.
+            if mask.sum() > 4:
                 continue
-            bg = PIL.Image.fromarray(denormalize_image(np.asarray(b["background"][k])))
-            styles = [{"type": LABEL_LIST[int(l)] if int(l) < len(LABEL_LIST) else "body text",
-                       "text": texts[j], "style": {"fontFamily": "Arial", "color": ""}}
-                      for j, l in enumerate(labels)]
-            stem = os.path.join(out_dir, f"render_{rendered:04d}")
-            visualize_banner(bbox_fake[k], mask, styles, True, bg, None, ["image"], stem)
+            if any(l not in _RENDER_SPECS for l in valid_labels):
+                continue
+            if any(valid_labels.count(l) > 1 for l in set(valid_labels)):
+                continue
+            if bds is not None:
+                bg_arr = denormalize_image(np.asarray(item["background_orig"]))
+                bg = PIL.Image.fromarray(bg_arr).resize(
+                    (int(item["W_page"]), int(item["H_page"])), PIL.Image.BILINEAR)
+            else:
+                bg = PIL.Image.fromarray(denormalize_image(np.asarray(b["background"][k])))
+            elements = []
+            for j in range(len(labels)):
+                if mask[j]:
+                    spec = copy.deepcopy(_RENDER_SPECS[int(labels[j])])
+                    spec["text"] = texts[j]
+                    elements.append(spec)
+            name = str(item.get("name", f"render_{rendered:04d}")).replace(".json", "")
+            visualize_banner(bbox_fake[k][mask], mask[mask], elements, True, bg,
+                             None, ["image"], os.path.join(fake_dir, name))
+            visualize_banner(b["bboxes"][k][mask], mask[mask], elements, True, bg,
+                             None, ["image"], os.path.join(real_dir, name))
             rendered += 1
-    return {"rendering_val": rendered}
+    return {"rendering_val": rendered,
+            "rendering_fake_dir": fake_dir, "rendering_real_dir": real_dir}

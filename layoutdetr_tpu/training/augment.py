@@ -17,8 +17,9 @@ TPU-native design:
 - color ops (brightness, contrast, lumaflip, hue, saturation) compose
   into one 4x4 color matrix applied per pixel;
 - additive RGB noise and cutout mirror augment.py's last two groups.
-The wavelet-band imgfilter group is not yet implemented (rarely enabled
-in the reference configs; tracked for a later round).
+- the wavelet-band imgfilter group (sym2 filter bank, per-sample
+  separable FIR; augment.py:24-41, 370-404) amplifies random frequency
+  bands.
 
 Every op fires with probability ``p * strength`` per sample, matching
 the reference's gating semantics.

@@ -34,3 +34,30 @@ def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     if target is not None:
         target = jax.device_get(target)
     return _checkpointer().restore(path, item=target)
+
+
+def graft(params: Any, pretrained: Any, path: str = "") -> Any:
+    """Overlay ``pretrained`` onto ``params``, keeping init values for
+    anything the pretrained tree lacks — the pytree analogue of the
+    reference's strict=False cold-start loads (UP-DETR into G/D/G_ema,
+    training_loop.py:138-140). Leaves present in both must match shape;
+    extra pretrained keys are reported and skipped."""
+    from collections.abc import Mapping
+
+    import numpy as np
+
+    if not isinstance(pretrained, Mapping):
+        want = np.shape(params)
+        got = np.shape(pretrained)
+        if want != got:
+            raise ValueError(f"graft shape mismatch at {path}: {want} vs {got}")
+        return pretrained
+    if not isinstance(params, Mapping):
+        raise ValueError(f"graft: pretrained has subtree at leaf {path}")
+    out = dict(params)
+    for k, v in pretrained.items():
+        if k in out:
+            out[k] = graft(out[k], v, f"{path}/{k}")
+        else:
+            print(f"(graft: skipping unknown key {path}/{k})")
+    return out

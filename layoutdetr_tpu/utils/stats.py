@@ -54,8 +54,6 @@ class Collector:
             self._deltas[name + "/_prev"] = total.copy()
 
     def _sync(self) -> None:
-        if not self._moments:
-            pass
         pending = self._moments
         self._moments = {}
         if jax.process_count() > 1 and pending:

@@ -50,6 +50,12 @@ def parse_comma_separated_list(s):
 # Optional features.
 @click.option("--aug", type=click.Choice(["noaug", "ada", "fixed"]), default="noaug", show_default=True)
 @click.option("--resume", type=str, metavar="[PATH]")
+@click.option("--init-g", type=str, default=None,
+              help="Converted checkpoint to graft onto fresh G params at cold "
+                   "start (the reference's strict=False UP-DETR/BERT init, "
+                   "training_loop.py:138-140)")
+@click.option("--init-d", type=str, default=None,
+              help="Converted checkpoint to graft onto fresh D params at cold start")
 @click.option("--resume-kimg", type=click.IntRange(min=0), default=0, show_default=True)
 # Misc hyperparameters.
 @click.option("--p", "aug_p", type=click.FloatRange(min=0, max=1), default=0.2, show_default=True)
@@ -70,6 +76,12 @@ def parse_comma_separated_list(s):
 # Misc settings.
 @click.option("--desc", type=str)
 @click.option("--metrics", type=parse_comma_separated_list, default="layout_fid50k_val", show_default=True)
+@click.option("--layoutnet-ckpt", type=str, default=None,
+              help="Converted LayoutNet checkpoint for reference-scale layout-FID "
+                   "(metrics/metric_layoutnet.py:26-63); random features otherwise")
+@click.option("--inception-ckpt", type=str, default=None,
+              help="InceptionV3 weights (.npz / torch .pth, pytorch-fid naming) "
+                   "for reference-scale image FID")
 @click.option("--kimg", "total_kimg", type=click.IntRange(min=1), default=25000, show_default=True)
 @click.option("--tick", "kimg_per_tick", type=click.IntRange(min=1), default=1, show_default=True)
 @click.option("--snap", "snap", type=click.IntRange(min=1), default=100, show_default=True)
@@ -79,8 +91,34 @@ def parse_comma_separated_list(s):
 @click.option("--chips", type=click.IntRange(min=1), default=None, help="Limit device count")
 @click.option("--max-steps", type=int, default=None, help="Stop after N steps (debug)")
 @click.option("-n", "--dry-run", is_flag=True)
+# --- Reference-CLI compatibility flags (SURVEY.md §2.10). These are
+# parsed-but-unwired in the reference too (train.py:148-194: --cond,
+# --mirror, --freezed, --cbase, --cmax, --map-depth, --mbstd-group,
+# --fp32 handling commented out, --nobench, --workers; the G/D
+# f_dim/num_heads/num_layers ctor args are never consumed by
+# networks_detr). Accepted here as documented no-ops so reference
+# command lines run unchanged; --gpus maps to --chips.
+@click.option("--gpus", type=click.IntRange(min=1), default=None,
+              help="Reference alias for --chips (device count)")
+@click.option("--cond", type=bool, default=False, help="No-op (reference parity)")
+@click.option("--mirror", type=bool, default=False, help="No-op (reference parity)")
+@click.option("--freezed", type=click.IntRange(min=0), default=0, help="No-op (reference parity)")
+@click.option("--cbase", type=click.IntRange(min=1), default=32768, help="No-op (reference parity)")
+@click.option("--cmax", type=click.IntRange(min=1), default=512, help="No-op (reference parity)")
+@click.option("--map-depth", type=click.IntRange(min=1), default=None, help="No-op (reference parity)")
+@click.option("--mbstd-group", type=click.IntRange(min=0), default=4, help="No-op (reference parity)")
+@click.option("--nobench", type=bool, default=False, help="No-op (reference parity)")
+@click.option("--workers", type=click.IntRange(min=1), default=8, help="No-op (reference parity)")
+@click.option("--g-f-dim", type=click.IntRange(min=1), default=256, help="No-op (reference parity)")
+@click.option("--g-num-heads", type=click.IntRange(min=1), default=4, help="No-op (reference parity)")
+@click.option("--g-num-layers", type=click.IntRange(min=1), default=8, help="No-op (reference parity)")
+@click.option("--d-f-dim", type=click.IntRange(min=1), default=256, help="No-op (reference parity)")
+@click.option("--d-num-heads", type=click.IntRange(min=1), default=4, help="No-op (reference parity)")
+@click.option("--d-num-layers", type=click.IntRange(min=1), default=8, help="No-op (reference parity)")
 def main(**opts):
     opts = EasyDict(opts)
+    if opts.chips is None and opts.gpus is not None:
+        opts.chips = opts.gpus
 
     import jax
     import jax.numpy as jnp
@@ -182,6 +220,12 @@ def main(**opts):
                                     max_text_length=opts.max_text_length)
         metric_g = Generator(gcfg)
 
+        layoutnet_params = None
+        if opts.layoutnet_ckpt:
+            from layoutdetr_tpu.utils.checkpoint import restore_checkpoint
+
+            layoutnet_params = restore_checkpoint(opts.layoutnet_ckpt)
+
         def metrics_fn(state, snap_path, cur_nimg):
             import jax as _jax
 
@@ -189,7 +233,9 @@ def main(**opts):
             for m in metric_names:
                 result = metric_main.calc_metric(
                     m, g_apply=metric_g.apply, params=params, dataset=val_dataset,
-                    gcfg=gcfg, layoutnet_params=None, batch=min(16, opts.batch_size),
+                    gcfg=gcfg, layoutnet_params=layoutnet_params,
+                    inception_params=opts.inception_ckpt or None,
+                    batch=min(16, opts.batch_size),
                     seed=opts.seed,
                 )
                 metric_main.report_metric(result, run_dir=run_dir, snapshot_path=snap_path)
@@ -213,6 +259,8 @@ def main(**opts):
             random_seed=opts.seed,
             resume=opts.resume,
             resume_kimg=opts.resume_kimg,
+            init_g=opts.init_g,
+            init_d=opts.init_d,
             max_steps=opts.max_steps,
             aug=opts.aug,
             aug_p=opts.aug_p,
