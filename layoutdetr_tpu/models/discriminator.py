@@ -77,9 +77,12 @@ class Discriminator(nn.Module):
 
     @nn.compact
     def __call__(self, bbox, bbox_class, text_ids, text_mask, text_len,
-                 padding_mask, background, reconst=False, deterministic=True):
-        """bbox: [B, N, 4]; rest as in Generator. Returns
-        (logit_disc [B], logit_disc_uncond [B]) or the full reconst tuple."""
+                 padding_mask, background, reconst=False, deterministic=True,
+                 text_feat=None):
+        """bbox: [B, N, 4]; rest as in Generator (incl. the optional
+        hoisted ``text_feat`` — the text encoder is frozen, see
+        Generator.__call__). Returns (logit_disc [B], logit_disc_uncond
+        [B]) or the full reconst tuple."""
         cfg = self.cfg
         b, n = bbox_class.shape
         valid = ~padding_mask
@@ -96,9 +99,10 @@ class Discriminator(nn.Module):
             "emb_label", nn.initializers.normal(1.0), (cfg.num_bbox_labels, cfg.bert_f_dim), jnp.float32
         )
         lf = jnp.take(emb_label, bbox_class, axis=0).astype(self.dtype)
-        text_feat = TextEncoder(cfg.encoder_bert_config(), dtype=self.dtype, name="text_encoder")(
-            text_ids, text_mask, deterministic
-        )
+        if text_feat is None:
+            text_feat = TextEncoder(cfg.encoder_bert_config(), dtype=self.dtype,
+                                    name="text_encoder")(text_ids, text_mask, deterministic)
+        text_feat = text_feat.astype(self.dtype)
         enc_text_len = self.param(
             "enc_text_len", nn.initializers.normal(1.0), (cfg.max_text_length, cfg.bert_f_dim), jnp.float32
         )

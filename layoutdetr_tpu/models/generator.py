@@ -110,6 +110,20 @@ class TextEncoder(nn.Module):
         return hidden[:, 0, :].reshape(b, n, -1)
 
 
+def make_text_feature_fn(cfg: "GeneratorConfig", dtype=jnp.float32):
+    """Standalone text-CLS-feature extractor over a model's frozen
+    ``text_encoder`` param subtree (params["params"]["text_encoder"] of a
+    Generator or Discriminator). Used by the train step to hoist the
+    frozen BERT passes out of the phase graphs."""
+    enc = TextEncoder(cfg.encoder_bert_config(), dtype=dtype)
+
+    def fn(text_encoder_params, text_ids, text_mask, deterministic=True, rngs=None):
+        return enc.apply({"params": text_encoder_params}, text_ids, text_mask,
+                         deterministic, rngs=rngs)
+
+    return fn
+
+
 class Generator(nn.Module):
     """z + labels + texts + background -> bboxes (+ reconstruction heads)."""
 
@@ -118,13 +132,22 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, z, bbox_class, bbox_real, text_ids, text_mask, text_len,
-                 padding_mask, background, reconst=False, deterministic=True):
+                 padding_mask, background, reconst=False, deterministic=True,
+                 text_feat=None):
         """
         z: [B, N, z_dim] noise; bbox_class: [B, N] int; bbox_real: [B, N, 4]
         (unused in the forward path, parity with reference signature);
         text_ids/text_mask: [B, N, T]; text_len: [B, N] int (character
         lengths, clipped to max_text_length-1); padding_mask: [B, N] bool
         True = padded; background: [B, S, S, 3] ImageNet-normalized.
+
+        text_feat: optional precomputed [B, N, bert_f_dim] text CLS
+        features. The text encoder is FROZEN in training (reference
+        training_loop.py:282-283), so the train step hoists this pass
+        out of the G/D phase graphs and computes it once per batch —
+        dropping 3 of the 5 per-step BERT-encoder executions, the
+        dominant FLOPs at max_text_length=256. When None the encoder
+        runs inline (init, eval, standalone use).
         """
         cfg = self.cfg
         del bbox_real
@@ -145,9 +168,10 @@ class Generator(nn.Module):
         )
         lf = jnp.take(emb_label, bbox_class, axis=0).astype(self.dtype)
 
-        text_feat = TextEncoder(cfg.encoder_bert_config(), dtype=self.dtype, name="text_encoder")(
-            text_ids, text_mask, deterministic
-        )
+        if text_feat is None:
+            text_feat = TextEncoder(cfg.encoder_bert_config(), dtype=self.dtype,
+                                    name="text_encoder")(text_ids, text_mask, deterministic)
+        text_feat = text_feat.astype(self.dtype)
 
         enc_text_len = self.param(
             "enc_text_len", nn.initializers.normal(1.0), (cfg.max_text_length, cfg.bert_f_dim), jnp.float32

@@ -49,8 +49,11 @@ class LossWeights:
     r1_gamma: float = 0.0
 
 
-def _model_inputs(batch: Dict[str, Any]) -> Dict[str, Any]:
-    return dict(
+def _model_inputs(batch: Dict[str, Any], text_feat_key: str = None) -> Dict[str, Any]:
+    """Model kwargs from a batch. ``text_feat_key`` ("text_feat_g" /
+    "text_feat_d") selects the hoisted frozen-text-encoder features the
+    train step may have precomputed (see make_train_step)."""
+    out = dict(
         bbox_class=batch["labels"],
         text_ids=batch["text_ids"],
         text_mask=batch["text_mask"],
@@ -58,6 +61,9 @@ def _model_inputs(batch: Dict[str, Any]) -> Dict[str, Any]:
         padding_mask=~batch["mask"],
         background=batch["background"],
     )
+    if text_feat_key is not None and text_feat_key in batch:
+        out["text_feat"] = batch[text_feat_key]
+    return out
 
 
 def _augmented(inputs: Dict[str, Any], batch: Dict[str, Any], rng) -> Dict[str, Any]:
@@ -80,7 +86,7 @@ def g_main_loss(g_apply: Callable, d_apply: Callable, params_g, params_d,
                 batch: Dict[str, Any], z, rngs, w: LossWeights,
                 deterministic: bool = False) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Gmain phase (loss.py:84-116): adversarial + reconstruction terms."""
-    inputs = _model_inputs(batch)
+    inputs = _model_inputs(batch, "text_feat_g")
     valid = batch["mask"]
 
     bbox_fake, loss_z, logit_cls, loss_lm, loss_text_len = g_apply(
@@ -88,8 +94,9 @@ def g_main_loss(g_apply: Callable, d_apply: Callable, params_g, params_d,
         deterministic=deterministic, rngs=rngs, **inputs,
     )
     # D params are constants in this phase (grad is taken wrt params_g only).
-    d_inputs = _augmented(inputs, batch, rngs.get("aug", jax.random.PRNGKey(0))) \
-        if isinstance(rngs, dict) else inputs
+    d_base = _model_inputs(batch, "text_feat_d")
+    d_inputs = _augmented(d_base, batch, rngs.get("aug", jax.random.PRNGKey(0))) \
+        if isinstance(rngs, dict) else d_base
     gen_logits, gen_logits_uncond = d_apply(
         params_d, bbox=bbox_fake, deterministic=deterministic, rngs=rngs, **d_inputs,
     )
@@ -128,16 +135,17 @@ def d_main_loss(g_apply: Callable, d_apply: Callable, params_g, params_d,
                 batch: Dict[str, Any], z, rngs, w: LossWeights,
                 deterministic: bool = False) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Dmain phase = Dgen (loss.py:146-157) + Dreal (loss.py:161-206)."""
-    inputs = _model_inputs(batch)
+    g_inputs = _model_inputs(batch, "text_feat_g")
     valid = batch["mask"]
 
     # Dgen: fakes from a frozen G.
     bbox_fake = jax.lax.stop_gradient(
         g_apply(params_g, z=z, bbox_real=batch["bboxes"], reconst=False,
-                deterministic=deterministic, rngs=rngs, **inputs)
+                deterministic=deterministic, rngs=rngs, **g_inputs)
     )
-    d_inputs = _augmented(inputs, batch, rngs.get("aug", jax.random.PRNGKey(0))) \
-        if isinstance(rngs, dict) else inputs
+    d_base = _model_inputs(batch, "text_feat_d")
+    d_inputs = _augmented(d_base, batch, rngs.get("aug", jax.random.PRNGKey(0))) \
+        if isinstance(rngs, dict) else d_base
     gen_logits, gen_logits_uncond = d_apply(
         params_d, bbox=bbox_fake, deterministic=deterministic, rngs=rngs, **d_inputs
     )

@@ -9,8 +9,9 @@ mesh, instead of per-phase eager passes with hand-rolled collectives.
 
 Differences worth noting:
 - optimizer state and EMA live in one checkpointable pytree;
-- stats come back as step outputs (fetched every ``stats_interval``
-  steps to keep the device pipeline async);
+- stats come back as step outputs, accumulated every batch like the
+  reference but fetched with a one-step lag so the device pipeline
+  never stalls;
 - the ADA controller (training_loop.py:334-338) adjusts augment
   probability on host from the 'Loss/signs/real' stat and feeds it to
   the augment pipeline as a plain scalar input.
@@ -139,9 +140,10 @@ def training_loop(
     image_snapshot_ticks: Optional[int] = 50,
     random_seed: int = 0,
     ema_rampup: Optional[float] = 0.05,
-    stats_interval: int = 8,
     resume: Optional[str] = None,
     resume_kimg: int = 0,
+    init_g: Optional[str] = None,
+    init_d: Optional[str] = None,
     metrics_fn: Optional[Callable] = None,
     abort_fn: Optional[Callable] = None,
     progress_fn: Optional[Callable] = None,
@@ -175,6 +177,25 @@ def training_loop(
                            frozen_substrings=G_FROZEN_SUBSTRINGS)
     tx_d = build_optimizer(params_d, lr=dlr, reg_interval=d_reg_interval,
                            frozen_substrings=D_FROZEN_SUBSTRINGS)
+    # Cold-start pretrained init (reference training_loop.py:138-140
+    # loads UP-DETR/SwAV/BERT with strict=False): graft converted
+    # checkpoints onto the fresh init; G_ema starts from the same values.
+    if init_g or init_d:
+        from layoutdetr_tpu.utils.checkpoint import graft
+
+        def load_tree(p):
+            t = restore_checkpoint(p)
+            return t.get("params", t) if isinstance(t, dict) and "params" in t else t
+
+        if init_g:
+            params_g = dict(params_g, params=graft(params_g["params"], load_tree(init_g)))
+            if is_chief:
+                print(f"Initialized G from {init_g}")
+        if init_d:
+            params_d = dict(params_d, params=graft(params_d["params"], load_tree(init_d)))
+            if is_chief:
+                print(f"Initialized D from {init_d}")
+
     state = GANTrainState.create(params_g, params_d, tx_g, tx_d)
     if resume:
         state = restore_checkpoint(resume, target=state)
@@ -187,12 +208,15 @@ def training_loop(
     if batch_gpu is not None and batch_gpu < per_dev:
         assert per_dev % batch_gpu == 0, "--batch-gpu must divide the per-device batch"
         grad_accum = per_dev // batch_gpu
+    from layoutdetr_tpu.models.generator import make_text_feature_fn
+
     step_fn = jax.jit(
         make_train_step(
             g.apply, d.apply, tx_g, tx_d, weights=loss_weights,
             batch_size=batch_size, ema_rampup=ema_rampup,
             z_dim=gcfg.z_dim, max_elements=gcfg.max_elements,
             grad_accum=grad_accum,
+            text_feature_fn=make_text_feature_fn(gcfg, dtype or np.float32),
         ),
         donate_argnums=(0,),
     )
@@ -226,6 +250,7 @@ def training_loop(
     # ADA controller (training_loop.py:165-171, 334-338): host-adjusted
     # augment probability fed into the jitted step as a scalar.
     ada = None
+    ada_signs = []
     cur_aug_p = 0.0
     if aug == "ada":
         from layoutdetr_tpu.training.augment import AdaController
@@ -250,13 +275,23 @@ def training_loop(
             rng, reg_rng = jax.random.split(rng)
             state, reg_stats = d_reg_fn(state, batch, reg_rng)
             stats = dict(stats, **reg_stats)
-        if batch_idx % stats_interval == 0:
-            if pending_stats is not None:
-                collector.report_dict(pending_stats)
-            pending_stats = stats
+        # Accumulate EVERY step's stats (the reference reports every
+        # batch, training_stats.report in loss.py), but fetch with a
+        # one-step lag: the previous step has finished by the time the
+        # current one is enqueued, so the device_get doesn't stall the
+        # pipeline.
+        if pending_stats is not None:
+            fetched = jax.device_get(pending_stats)
+            collector.report_dict(fetched)
             if ada is not None:
-                cur_aug_p = ada.update(batch_idx, batch_size,
-                                       float(stats["Loss/signs/real"]))
+                ada_signs.append(float(fetched["Loss/signs/real"]))
+        pending_stats = stats
+        if ada is not None and batch_idx % ada.interval == 0 and ada_signs:
+            # Reference cadence: adjust p every 4 batches from the mean
+            # sign over the interval (training_loop.py:334-338).
+            cur_aug_p = ada.update(batch_idx, batch_size,
+                                   float(np.mean(ada_signs)))
+            ada_signs.clear()
         cur_nimg += batch_size
         batch_idx += 1
 

@@ -127,11 +127,22 @@ def make_train_step(
     max_elements: int = 9,
     deterministic: bool = False,
     grad_accum: int = 1,
+    text_feature_fn: Optional[Callable] = None,
 ):
     """Returns step(state, batch, rng) -> (state, stats): Gmain+Dmain+EMA.
 
     ``grad_accum`` > 1 microbatches each phase (the reference's
     batch_gpu); the per-device batch must be divisible by it.
+
+    ``text_feature_fn`` (models.generator.make_text_feature_fn) hoists
+    the FROZEN text encoders out of the phase graphs: without it each
+    step executes 5 full BERT-encoder passes (G in Gmain, D in Gmain, G
+    in Dmain, D on fake, D on real) over identical 9x256-token inputs;
+    with it, one pass per model (G's and D's encoders are independent
+    param trees, both frozen — reference training_loop.py:282-283). The
+    only semantic difference is that encoder dropout is drawn once per
+    step instead of per phase — the encoders are frozen, so this affects
+    no gradients.
     """
     if ema_kimg is None:
         ema_kimg = batch_size * 10 / 32  # train.py:249
@@ -142,6 +153,21 @@ def make_train_step(
         def make_rngs(key):
             k1, k2, k3 = jax.random.split(key, 3)
             return {"dropout": k1, "noise": k2, "aug": k3}
+
+        if text_feature_fn is not None:
+            rng_g, rng_tg = jax.random.split(rng_g)
+            rng_d, rng_td = jax.random.split(rng_d)
+            tf_g = text_feature_fn(
+                state.params_g["params"]["text_encoder"],
+                batch["text_ids"], batch["text_mask"], deterministic,
+                rngs={"dropout": rng_tg})
+            tf_d = text_feature_fn(
+                state.params_d["params"]["text_encoder"],
+                batch["text_ids"], batch["text_mask"], deterministic,
+                rngs={"dropout": rng_td})
+            batch = dict(batch,
+                         text_feat_g=jax.lax.stop_gradient(tf_g),
+                         text_feat_d=jax.lax.stop_gradient(tf_d))
 
         def sample_z(key, mb):
             return jax.random.normal(key, (mb["labels"].shape[0], max_elements, z_dim))

@@ -102,3 +102,26 @@ def test_report_metric_writes_jsonl(tiny_setup, tmp_path):
     line = (tmp_path / "metric-layout_fid50k_val.jsonl").read_text().strip()
     rec = json.loads(line)
     assert rec["results"]["foo"] == 1.0 and rec["snapshot_path"] == "snap"
+
+
+def test_rendering_val_renders_real_and_fake(tiny_setup, tmp_path):
+    """Full rendering metric (VERDICT r1 item 7): both fake and real
+    banners rendered, reference filter applied (rendering_utils.py:153-167)."""
+    import os
+
+    from layoutdetr_tpu.metrics import metric_main
+
+    g, params, ds = tiny_setup
+    dataset = ClippedDataset(ds, TINY9.vocab_size)
+    result = metric_main.calc_metric(
+        "rendering_val", g_apply=g.apply, params=params, dataset=dataset,
+        gcfg=TINY9, batch=3, seed=0, render_dir=str(tmp_path))
+    r = result.results
+    fake_dir, real_dir = r["rendering_fake_dir"], r["rendering_real_dir"]
+    assert os.path.isdir(fake_dir) and os.path.isdir(real_dir)
+    n_fake = len([f for f in os.listdir(fake_dir) if f.endswith("_vis.png")])
+    n_real = len([f for f in os.listdir(real_dir) if f.endswith("_vis.png")])
+    assert n_fake == n_real == r["rendering_val"]
+    # Skipped pages violate the filter: >4 elements, non-renderable or
+    # duplicated types.
+    assert r["rendering_val"] <= len(dataset)
