@@ -226,6 +226,13 @@ def load_inception_params(path_or_params):
     if not isinstance(path_or_params, str):
         return path_or_params
     path = path_or_params
+    import os
+
+    if os.path.isdir(path):  # orbax checkpoint (torch_convert --kind inception)
+        from layoutdetr_tpu.utils.checkpoint import restore_checkpoint
+
+        tree = restore_checkpoint(path)
+        return tree.get("params", tree) if isinstance(tree, dict) else tree
     if path.endswith(".npz"):
         import numpy as np
 

@@ -497,7 +497,7 @@ def main():
     ap.add_argument("--kind", required=True,
                     choices=["resnet50", "bert_encoder", "bert_lm_head", "layoutnet",
                              "detr_transformer", "stylegan2_decoder",
-                             "generator", "discriminator"])
+                             "generator", "discriminator", "inception"])
     ap.add_argument("--src", required=True,
                     help=".pth/.pth.tar state dict, or .npz from tools/extract_reference_pkl.py")
     ap.add_argument("--dest", required=True)
@@ -517,6 +517,7 @@ def main():
         "stylegan2_decoder": lambda: convert_stylegan2_decoder(sd),
         "generator": lambda: convert_generator(sd),
         "discriminator": lambda: convert_discriminator(sd),
+        "inception": lambda: convert_inception(sd),
     }[args.kind]()
     save_checkpoint(args.dest, {"params": tree})
     if args.kind in ("generator", "discriminator", "bert_encoder", "bert_lm_head"):

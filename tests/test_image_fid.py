@@ -131,3 +131,24 @@ def test_image_fid_uses_patch_compositing(tmp_path):
                     batch=3, size_canvas=64)
     fid = compute_image_fid(opts, max_items=3)
     assert np.isfinite(fid) and fid >= 0.0
+
+
+def test_load_inception_params_from_orbax_dir(tmp_path):
+    """torch_convert --kind inception saves an orbax dir; the metric
+    loader must accept it (plus .npz and raw pytrees)."""
+    import numpy as np
+
+    from layoutdetr_tpu.models.inception import load_inception_params
+    from layoutdetr_tpu.utils.checkpoint import save_checkpoint
+
+    tree = {"Conv2d_1a_3x3": {"conv": np.ones((3, 3, 3, 4), np.float32)}}
+    ckpt = str(tmp_path / "inc")
+    save_checkpoint(ckpt, {"params": tree})
+    out = load_inception_params(ckpt)
+    assert np.array_equal(out["Conv2d_1a_3x3"]["conv"], tree["Conv2d_1a_3x3"]["conv"])
+
+    np.savez(tmp_path / "inc.npz", **{"Conv2d_1a_3x3/conv": tree["Conv2d_1a_3x3"]["conv"]})
+    out2 = load_inception_params(str(tmp_path / "inc.npz"))
+    assert np.array_equal(out2["Conv2d_1a_3x3"]["conv"], tree["Conv2d_1a_3x3"]["conv"])
+
+    assert load_inception_params(tree) is tree
