@@ -54,6 +54,12 @@ class BertConfig:
     pad_token_id: int = 0
     encoder_width: int = 768
     add_cross_attention: bool = True
+    # Fused Pallas attention (ops/attention.py) for self-attention with a
+    # key-only mask. FORWARD-ONLY: enable it where gradients never flow
+    # (the frozen hoisted text encoders, inference). flash_interpret runs
+    # the kernel through the TPU interpreter (CPU tests).
+    flash_attention: bool = False
+    flash_interpret: bool = False
 
 
 class BertSelfAttention(nn.Module):
@@ -79,6 +85,29 @@ class BertSelfAttention(nn.Module):
         q = q.reshape(B, Q, h, hd)
         k = k.reshape(B, K, h, hd)
         v = v.reshape(B, K, h, hd)
+
+        # Fused-kernel fast path: self-attention with a key-only padding
+        # bias ([B,1,1,K]); logits/probs never touch HBM.
+        key_only_bias = (attn_bias is not None and attn_bias.ndim == 4
+                         and attn_bias.shape[1] == 1 and attn_bias.shape[2] == 1)
+        if cfg.flash_attention and hidden is kv and Q == K and key_only_bias:
+            import math
+
+            from layoutdetr_tpu.ops.attention import fused_attention
+
+            rate, seed = 0.0, None
+            if not deterministic and cfg.attention_probs_dropout_prob > 0:
+                rate = cfg.attention_probs_dropout_prob
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max)
+            out = fused_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), attn_bias[:, 0, 0, :].astype(jnp.float32),
+                scale=1.0 / math.sqrt(hd), dropout_rate=rate, seed=seed,
+                interpret=cfg.flash_interpret,
+            )
+            return out.transpose(0, 2, 1, 3).reshape(B, Q, d)
+
         from layoutdetr_tpu.models.layers import einsum_hp
 
         scores = einsum_hp("bqhd,bkhd->bhqk", q, k, self.dtype) / jnp.sqrt(

@@ -110,12 +110,23 @@ class TextEncoder(nn.Module):
         return hidden[:, 0, :].reshape(b, n, -1)
 
 
-def make_text_feature_fn(cfg: "GeneratorConfig", dtype=jnp.float32):
+def make_text_feature_fn(cfg: "GeneratorConfig", dtype=jnp.float32,
+                         flash: Optional[bool] = None):
     """Standalone text-CLS-feature extractor over a model's frozen
     ``text_encoder`` param subtree (params["params"]["text_encoder"] of a
     Generator or Discriminator). Used by the train step to hoist the
-    frozen BERT passes out of the phase graphs."""
-    enc = TextEncoder(cfg.encoder_bert_config(), dtype=dtype)
+    frozen BERT passes out of the phase graphs.
+
+    ``flash``: use the fused Pallas attention kernel (safe here — the
+    hoisted pass is forward-only). Defaults to on for TPU backends."""
+    import jax
+
+    bert_cfg = cfg.encoder_bert_config()
+    if flash is None:
+        flash = jax.default_backend() == "tpu"
+    if flash:
+        bert_cfg = dataclasses.replace(bert_cfg, flash_attention=True)
+    enc = TextEncoder(bert_cfg, dtype=dtype)
 
     def fn(text_encoder_params, text_ids, text_mask, deterministic=True, rngs=None):
         return enc.apply({"params": text_encoder_params}, text_ids, text_mask,
