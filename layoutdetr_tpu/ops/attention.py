@@ -48,7 +48,7 @@ def _attn_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                     # [S, S]
-    logits = logits + bias_ref[0][None, :]
+    logits = logits + bias_ref[0, 0][None, :]
     logits = logits - jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -86,7 +86,9 @@ def fused_attention(q, k, v, bias, *, scale, dropout_rate=0.0, seed=None,
             pl.BlockSpec((1, 1, s, d), lambda i, j, *_: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, s, d), lambda i, j, *_: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, s, d), lambda i, j, *_: (i, j, 0, 0)),
-            pl.BlockSpec((1, s), lambda i, j, *_: (i, 0)),
+            # [B,1,S]: middle singleton keeps the sublane block dim equal
+            # to the array dim (Mosaic tiling rule).
+            pl.BlockSpec((1, 1, s), lambda i, j, *_: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, s, d), lambda i, j, *_: (i, j, 0, 0)),
     )
@@ -98,4 +100,4 @@ def fused_attention(q, k, v, bias, *, scale, dropout_rate=0.0, seed=None,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid_spec=grid_spec,
         interpret=interp,
-    )(seed, q, k, v, bias.astype(jnp.float32))
+    )(seed, q, k, v, bias.astype(jnp.float32)[:, None, :])
