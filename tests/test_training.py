@@ -127,7 +127,22 @@ def test_reg_steps_run_and_update():
 
 
 def test_dryrun_multichip_8():
-    import __graft_entry__
+    """Run the driver's multichip dryrun exactly as the driver does: in a
+    fresh subprocess. In-process at the end of a long suite, the 8
+    virtual CPU devices' all-reduce rendezvous can trip XLA's hard
+    timeout on this 1-core host and SIGABRT the whole session."""
+    import os
+    import subprocess
+    import sys
 
-    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
-    __graft_entry__.dryrun_multichip(8)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip(8) OK" in out.stdout
