@@ -109,3 +109,40 @@ def test_render_banner_pil(tmp_path):
 
     html = compose_banner_html(bbox[0], mask[0], styles, True, bg, "bg.png")
     assert "Big Sale" in html and "background-color:" in html and "border-radius:0.5em" in html
+
+
+def test_api_handlers_upload_update_save(tmp_path, monkeypatch):
+    """HTTP handler schemas (reference api_server.py:85-253): /upload
+    stores the image, /update returns the updatedStatus list, /save is
+    the reference's dummy success endpoint."""
+    import base64
+    import importlib
+    import io
+    import os
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "e2e_pipeline"))
+    api = importlib.import_module("api_server")
+    monkeypatch.setattr(api, "UPLOAD_DIR", str(tmp_path / "up"))
+    monkeypatch.setattr(api, "GENERATED_DIR", str(tmp_path / "gen"))
+
+    img = PIL.Image.new("RGB", (8, 8), (1, 2, 3))
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    res = api.handle_upload({"image": base64.b64encode(buf.getvalue()).decode()})
+    assert res["imageId"].endswith(".png")
+    assert os.path.exists(os.path.join(api.UPLOAD_DIR, res["imageId"]))
+
+    assert api.handle_save({}) == {"status": "success"}
+
+    # /update: html saved; screenshot fails without Chrome -> status
+    # 'error' per the reference's try/except contract.
+    os.makedirs(api.GENERATED_DIR, exist_ok=True)
+    img.save(os.path.join(api.GENERATED_DIR, "banner_x.png"))
+    out = api.handle_update({"editedHTMLs": [
+        {"htmlName": "banner_x.html", "htmlContent": "<html><body>hi</body></html>"}
+    ]})
+    assert list(out) == ["updatedStatus"]
+    (entry,) = out["updatedStatus"]
+    assert entry["htmlName"] == "banner_x.html" and entry["status"] in ("success", "error")
+    assert os.path.exists(os.path.join(api.GENERATED_DIR, "banner_x.html"))
