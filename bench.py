@@ -138,9 +138,14 @@ def main():
     from layoutdetr_tpu.models.generator import make_text_feature_fn
 
     step = jax.jit(
+        # share_text_encoder matches the production path: training_loop
+        # enables it whenever G's and D's frozen encoders hold identical
+        # pretrained weights, which the reference run always does
+        # (training_loop.py:282-283).
         make_train_step(g.apply, d.apply, tx_g, tx_d, batch_size=b,
                         z_dim=gcfg.z_dim, max_elements=gcfg.max_elements,
-                        text_feature_fn=make_text_feature_fn(gcfg, dtype)),
+                        text_feature_fn=make_text_feature_fn(gcfg, dtype),
+                        share_text_encoder=True),
         donate_argnums=(0,),
     )
 

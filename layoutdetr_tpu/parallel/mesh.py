@@ -26,10 +26,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, axis_names=("data",)) -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, axis_names=("data",),
+              model_parallel: int = 1) -> Mesh:
+    """1-D data mesh by default; ``model_parallel`` > 1 folds the devices
+    into a 2-D (data, model) mesh for tensor parallelism (contiguous
+    device groups ride the fast inner ICI ring)."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
+    if model_parallel > 1:
+        assert len(devices) % model_parallel == 0, (
+            f"{len(devices)} devices not divisible by model_parallel={model_parallel}")
+        arr = np.array(devices).reshape(len(devices) // model_parallel, model_parallel)
+        return Mesh(arr, ("data", "model"))
     shape = (len(devices),) + (1,) * (len(axis_names) - 1)
     return Mesh(np.array(devices).reshape(shape), axis_names)
 
@@ -55,7 +64,14 @@ def shard_batch(batch, mesh: Mesh):
     """
     s = data_sharding(mesh)
     if jax.process_count() == 1:
-        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+        rep = replicated_sharding(mesh)
+
+        def put_local(x):
+            # Rank-0 leaves (e.g. the ADA aug_p scalar) replicate; only
+            # array leaves carry a batch axis to shard.
+            return jax.device_put(x, rep if getattr(x, "ndim", 0) == 0 else s)
+
+        return jax.tree.map(put_local, batch)
     from jax.experimental import multihost_utils
 
     def put(x):
@@ -70,3 +86,52 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     s = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism (GSPMD): parameter-sharding rules over the 'model'
+# axis. Annotating PARAM placements is enough — XLA propagates the
+# shardings through the jitted step and inserts the all-reduces (Megatron
+# column/row-parallel layout: qkv + FFN-in column-sharded, attention/FFN
+# output row-sharded). Activations stay unannotated.
+# ---------------------------------------------------------------------------
+
+# (path-substring, kernel PartitionSpec). First match wins; biases of
+# column-parallel layers shard with the outputs.
+TP_RULES = (
+    # BERT self/cross attention projections (models/bert.py)
+    ("query/kernel", P(None, "model")),
+    ("key/kernel", P(None, "model")),
+    ("value/kernel", P(None, "model")),
+    ("query/bias", P("model")),
+    ("key/bias", P("model")),
+    ("value/bias", P("model")),
+    ("attention/output_dense/kernel", P("model", None)),
+    ("crossattention/output_dense/kernel", P("model", None)),
+    # BERT FFN
+    ("intermediate_dense/kernel", P(None, "model")),
+    ("intermediate_dense/bias", P("model")),
+)
+
+
+def _tp_spec(path: str):
+    for sub, spec in TP_RULES:
+        if path.endswith(sub) or f"/{sub}" in path:
+            return spec
+    return P()
+
+
+def shard_params(tree, mesh: Mesh):
+    """Place a param/opt-state pytree with TP_RULES over a (data, model)
+    mesh; a 1-D mesh degenerates to plain replication."""
+    if "model" not in mesh.axis_names or mesh.shape["model"] == 1:
+        return replicate(tree, mesh)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = []
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        spec = _tp_spec(name)
+        if spec != P() and getattr(leaf, "ndim", 0) < len(spec):
+            spec = P()
+        out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+    return jax.tree_util.tree_unflatten(treedef, out)

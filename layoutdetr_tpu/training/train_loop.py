@@ -153,11 +153,12 @@ def training_loop(
     aug_p: float = 0.2,
     ada_target: Optional[float] = None,
     n_devices: Optional[int] = None,
+    model_parallel: int = 1,
 ):
     """Run GAN training. Returns the final GANTrainState (host copy)."""
     start_time = time.time()
-    mesh = make_mesh(n_devices)
-    n_dev = mesh.devices.size
+    mesh = make_mesh(n_devices, model_parallel=model_parallel)
+    n_dev = mesh.shape["data"]  # batch divides the DATA axis only
     assert batch_size % n_dev == 0, "batch must divide the data-parallel mesh"
     is_chief = jax.process_index() == 0
 
@@ -201,7 +202,9 @@ def training_loop(
         state = restore_checkpoint(resume, target=state)
         if is_chief:
             print(f"Resumed from {resume}")
-    state = replicate(state, mesh)
+    from layoutdetr_tpu.parallel.mesh import shard_params
+
+    state = shard_params(state, mesh)  # replication on a 1-D mesh
 
     per_dev = batch_size // n_dev
     grad_accum = 1
@@ -210,6 +213,22 @@ def training_loop(
         grad_accum = per_dev // batch_gpu
     from layoutdetr_tpu.models.generator import make_text_feature_fn
 
+    # Share one frozen text-encoder pass between G and D only when their
+    # encoder weights are actually identical (they are whenever both were
+    # initialized from the same pretrained BERT — reference
+    # training_loop.py:282-283 keeps both frozen for the whole run).
+    # Checked on the host pytrees, so a divergent --init-g/--init-d pair
+    # silently falls back to the two-pass path.
+    te_g = params_g["params"].get("text_encoder")
+    te_d = params_d["params"].get("text_encoder")
+    share_te = te_g is not None and te_d is not None and all(
+        jax.tree.leaves(jax.tree.map(
+            lambda a, b: bool(np.asarray(a).shape == np.asarray(b).shape
+                              and np.array_equal(np.asarray(a), np.asarray(b))),
+            te_g, te_d)))
+    if is_chief:
+        print(f"Text-encoder sharing: {'ON (identical frozen weights)' if share_te else 'off'}")
+
     step_fn = jax.jit(
         make_train_step(
             g.apply, d.apply, tx_g, tx_d, weights=loss_weights,
@@ -217,6 +236,7 @@ def training_loop(
             z_dim=gcfg.z_dim, max_elements=gcfg.max_elements,
             grad_accum=grad_accum,
             text_feature_fn=make_text_feature_fn(gcfg, dtype or np.float32),
+            share_text_encoder=share_te,
         ),
         donate_argnums=(0,),
     )

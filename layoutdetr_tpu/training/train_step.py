@@ -128,6 +128,7 @@ def make_train_step(
     deterministic: bool = False,
     grad_accum: int = 1,
     text_feature_fn: Optional[Callable] = None,
+    share_text_encoder: bool = False,
 ):
     """Returns step(state, batch, rng) -> (state, stats): Gmain+Dmain+EMA.
 
@@ -138,8 +139,9 @@ def make_train_step(
     the FROZEN text encoders out of the phase graphs: without it each
     step executes 5 full BERT-encoder passes (G in Gmain, D in Gmain, G
     in Dmain, D on fake, D on real) over identical 9x256-token inputs;
-    with it, one pass per model (G's and D's encoders are independent
-    param trees, both frozen — reference training_loop.py:282-283). The
+    with it, one pass per model — or a single shared pass when
+    ``share_text_encoder`` (default: the two frozen encoders hold
+    identical pretrained weights for the whole run). The
     only semantic difference is that encoder dropout is drawn once per
     step instead of per phase — the encoders are frozen, so this affects
     no gradients.
@@ -161,10 +163,18 @@ def make_train_step(
                 state.params_g["params"]["text_encoder"],
                 batch["text_ids"], batch["text_mask"], deterministic,
                 rngs={"dropout": rng_tg})
-            tf_d = text_feature_fn(
-                state.params_d["params"]["text_encoder"],
-                batch["text_ids"], batch["text_mask"], deterministic,
-                rngs={"dropout": rng_td})
+            if share_text_encoder:
+                # G's and D's text encoders are frozen at the SAME
+                # pretrained weights for the whole run (reference
+                # training_loop.py:282-283 + identical bert-base init;
+                # the 2 resize-added token rows never appear in encoder
+                # inputs), so one pass serves both models.
+                tf_d = tf_g
+            else:
+                tf_d = text_feature_fn(
+                    state.params_d["params"]["text_encoder"],
+                    batch["text_ids"], batch["text_mask"], deterministic,
+                    rngs={"dropout": rng_td})
             batch = dict(batch,
                          text_feat_g=jax.lax.stop_gradient(tf_g),
                          text_feat_d=jax.lax.stop_gradient(tf_d))

@@ -89,6 +89,10 @@ def parse_comma_separated_list(s):
 @click.option("--bf16/--fp32", "use_bf16", default=False, show_default=True,
               help="bf16 activations on the MXU (params stay fp32)")
 @click.option("--chips", type=click.IntRange(min=1), default=None, help="Limit device count")
+@click.option("--model-parallel", type=click.IntRange(min=1), default=1, show_default=True,
+              help="Tensor-parallel degree: folds devices into a (data, model) "
+                   "mesh; BERT qkv/FFN kernels shard Megatron-style over 'model' "
+                   "(parallel/mesh.py TP_RULES)")
 @click.option("--max-steps", type=int, default=None, help="Stop after N steps (debug)")
 @click.option("-n", "--dry-run", is_flag=True)
 # --- Reference-CLI compatibility flags (SURVEY.md §2.10). These are
@@ -180,6 +184,7 @@ def main(**opts):
         loss_weights=vars(weights) if not isinstance(weights, dict) else weights,
         aug=opts.aug, ada_target=opts.ada_target if opts.aug == "ada" else None,
         bf16=opts.use_bf16, ema_kimg=opts.batch_size * 10 / 32,
+        model_parallel=opts.model_parallel,
     )
 
     print()
@@ -261,6 +266,7 @@ def main(**opts):
             resume_kimg=opts.resume_kimg,
             init_g=opts.init_g,
             init_d=opts.init_d,
+            model_parallel=opts.model_parallel,
             max_steps=opts.max_steps,
             aug=opts.aug,
             aug_p=opts.aug_p,
