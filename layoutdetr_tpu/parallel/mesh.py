@@ -111,6 +111,18 @@ TP_RULES = (
     # BERT FFN
     ("intermediate_dense/kernel", P(None, "model")),
     ("intermediate_dense/bias", P("model")),
+    # DETR / decoder transformer FFNs (models/detr_transformer.py,
+    # discriminator dec_transformer*): linear1 column-parallel,
+    # linear2 row-parallel. Their packed-QKV attention kernels
+    # (in_proj_kernel, [d, 3d]) stay replicated on purpose: a 'model'
+    # split of the 3d axis misaligns with the q/k/v split boundaries,
+    # so GSPMD would insert all-gathers around every head reshape —
+    # more traffic than the 256-wide matmuls are worth. Likewise the
+    # ResNet/StyleGAN2 convs: channel-sharding them trades tiny
+    # per-device savings for per-layer collectives.
+    ("linear1/kernel", P(None, "model")),
+    ("linear1/bias", P("model")),
+    ("linear2/kernel", P("model", None)),
 )
 
 
