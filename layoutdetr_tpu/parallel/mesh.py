@@ -43,6 +43,26 @@ def make_mesh(n_devices: Optional[int] = None, axis_names=("data",),
     return Mesh(np.array(devices).reshape(shape), axis_names)
 
 
+def collective_compiler_options(mesh: Optional[Mesh] = None):
+    """Per-jit XLA options that keep multi-device CPU runs alive.
+
+    XLA:CPU's in-process collective rendezvous ABORTS the whole process
+    after 40 s when a participant thread is starved — routine on a
+    1-core host running n virtual device threads (the standard way to
+    test sharding without a pod). XLA_FLAGS is parsed once at first
+    backend init, so when a TPU plugin initialized first the env route
+    is dead; these DebugOptions are applied per-compile instead. None
+    on real accelerators (the options are CPU-only).
+    """
+    n_dev = mesh.devices.size if mesh is not None else len(jax.devices())
+    if jax.default_backend() != "cpu" or n_dev <= 1:
+        return None
+    return {
+        "xla_cpu_collective_call_terminate_timeout_seconds": 900,
+        "xla_cpu_collective_call_warn_stuck_seconds": 300,
+    }
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the 'data' mesh axis."""
     return NamedSharding(mesh, P("data"))

@@ -196,12 +196,32 @@ def training_loop(
             params_d = dict(params_d, params=graft(params_d["params"], load_tree(init_d)))
             if is_chief:
                 print(f"Initialized D from {init_d}")
+    if "text_encoder" in params_d.get("params", {}) and not init_d:
+        # Reference invariant: G and D construct their frozen text
+        # encoders from the SAME pretrained BERT (networks_detr.py:92,
+        # :226), so they are weight-identical for the whole run. A
+        # from-scratch init here draws two different random encoders —
+        # copying G's into D restores the reference invariant (one
+        # shared frozen text representation) and lets the train step
+        # share the single encoder pass. An explicit --init-d is
+        # respected as-is. The subtree is deep-COPIED: aliasing the
+        # same buffers into both param trees makes the donated train
+        # step fail with "attempt to donate the same buffer twice".
+        params_d = dict(params_d, params=dict(
+            params_d["params"],
+            text_encoder=jax.tree.map(lambda a: np.array(a),
+                                      params_g["params"]["text_encoder"])))
 
     state = GANTrainState.create(params_g, params_d, tx_g, tx_d)
     if resume:
         state = restore_checkpoint(resume, target=state)
         if is_chief:
             print(f"Resumed from {resume}")
+    # The sharing decision must look at the weights that will actually
+    # train — i.e. AFTER any resume restore, not the fresh init. Only
+    # the two encoder subtrees are fetched to host.
+    te_g_host = jax.device_get(state.params_g["params"].get("text_encoder"))
+    te_d_host = jax.device_get(state.params_d["params"].get("text_encoder"))
     from layoutdetr_tpu.parallel.mesh import shard_params
 
     state = shard_params(state, mesh)  # replication on a 1-D mesh
@@ -219,8 +239,7 @@ def training_loop(
     # training_loop.py:282-283 keeps both frozen for the whole run).
     # Checked on the host pytrees, so a divergent --init-g/--init-d pair
     # silently falls back to the two-pass path.
-    te_g = params_g["params"].get("text_encoder")
-    te_d = params_d["params"].get("text_encoder")
+    te_g, te_d = te_g_host, te_d_host
     share_te = te_g is not None and te_d is not None and all(
         jax.tree.leaves(jax.tree.map(
             lambda a, b: bool(np.asarray(a).shape == np.asarray(b).shape
@@ -229,6 +248,9 @@ def training_loop(
     if is_chief:
         print(f"Text-encoder sharing: {'ON (identical frozen weights)' if share_te else 'off'}")
 
+    from layoutdetr_tpu.parallel.mesh import collective_compiler_options
+
+    copts = collective_compiler_options(mesh)
     step_fn = jax.jit(
         make_train_step(
             g.apply, d.apply, tx_g, tx_d, weights=loss_weights,
@@ -239,6 +261,7 @@ def training_loop(
             share_text_encoder=share_te,
         ),
         donate_argnums=(0,),
+        compiler_options=copts,
     )
 
     # Lazy regularization steps (reference phases Greg/Dreg,
@@ -249,11 +272,11 @@ def training_loop(
         g_reg_fn = jax.jit(make_g_reg_step(
             g.apply, tx_g, loss_weights, z_dim=gcfg.z_dim,
             max_elements=gcfg.max_elements, gain=float(g_reg_interval)),
-            donate_argnums=(0,))
+            donate_argnums=(0,), compiler_options=copts)
     if loss_weights.r1_gamma > 0 and d_reg_interval:
         d_reg_fn = jax.jit(make_d_reg_step(
             d.apply, tx_d, loss_weights, gain=float(d_reg_interval)),
-            donate_argnums=(0,))
+            donate_argnums=(0,), compiler_options=copts)
 
     collector = Collector()
     jsonl = StatsJsonlWriter(os.path.join(run_dir, "stats.jsonl")) if is_chief else None

@@ -16,9 +16,14 @@ import types
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in xla_flags:
+    # Raise XLA:CPU's 40 s collective-rendezvous watchdog: on this
+    # 1-core host the 8 virtual device threads are routinely starved
+    # past it, and the watchdog SIGABRTs the whole pytest session.
+    xla_flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=900"
+                  " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300")
+os.environ["XLA_FLAGS"] = xla_flags
 
 import jax  # noqa: E402
 

@@ -27,7 +27,10 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=2"
+    " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+    " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300")
 sys.path.insert(0, {repo!r})
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -89,6 +92,9 @@ def test_two_process_mesh_and_stats(tmp_path):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2"
+                        " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+                        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300")
     procs = [
         subprocess.Popen([sys.executable, str(script_path), str(i)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
@@ -105,80 +111,26 @@ def test_two_process_mesh_and_stats(tmp_path):
 
 def test_tensor_parallel_mesh_step():
     """2-D (data, model) mesh: TP param shardings (Megatron column/row
-    layout over the BERT kernels) compile and run one hoisted train step
-    with outputs matching the pure-DP run."""
-    import jax
-    import jax.numpy as jnp
+    layout over the BERT + transformer-FFN kernels) compile and run one
+    hoisted train step with stats matching the pure-DP run.
 
-    from layoutdetr_tpu.models.discriminator import Discriminator
-    from layoutdetr_tpu.models.generator import (
-        Generator,
-        GeneratorConfig,
-        make_text_feature_fn,
-    )
-    from layoutdetr_tpu.parallel.mesh import (
-        make_mesh,
-        replicate,
-        shard_batch,
-        shard_params,
-    )
-    from layoutdetr_tpu.training.optimizers import (
-        D_FROZEN_SUBSTRINGS,
-        G_FROZEN_SUBSTRINGS,
-        build_optimizer,
-    )
-    from layoutdetr_tpu.training.train_step import GANTrainState, make_train_step
+    Runs in a fresh subprocess (tests/_tp_driver.py): this is the
+    suite's heaviest XLA:CPU collective workload, and the rendezvous
+    hard-timeout SIGABRTs the host process when run in-suite on this
+    1-core machine.
+    """
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import CPU_COLLECTIVE_TIMEOUT_FLAGS
 
-    assert len(jax.devices()) >= 8
-    cfg = GeneratorConfig(
-        hidden_dim=16, bert_f_dim=32, bert_num_heads=2, bert_num_encoder_layers=1,
-        bert_num_decoder_layers=1, bert_intermediate_size=64,
-        bert_max_position_embeddings=32, im_f_dim=16, max_text_length=16,
-        vocab_size=64, bos_token_id=62, nhead=2, num_encoder_layers=1,
-        num_decoder_layers=1, dim_feedforward=32, background_size=32,
-        max_elements=3,
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=8"
+                        + CPU_COLLECTIVE_TIMEOUT_FLAGS)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", "import _tp_driver; _tp_driver.main()"],
+        cwd=os.path.join(repo, "tests"), env=env,
+        capture_output=True, text=True, timeout=1800,
     )
-    rng = np.random.default_rng(0)
-    b, n, t = 8, 3, 8
-    kw = dict(
-        z=rng.normal(size=(b, n, cfg.z_dim)).astype(np.float32),
-        bbox_class=rng.integers(0, 8, (b, n)),
-        bbox_real=rng.uniform(0.1, 0.9, (b, n, 4)).astype(np.float32),
-        text_ids=rng.integers(1, 60, (b, n, t)),
-        text_mask=np.ones((b, n, t), np.int32),
-        text_len=rng.integers(0, 16, (b, n)),
-        padding_mask=np.zeros((b, n), bool),
-        background=rng.normal(size=(b, 32, 32, 3)).astype(np.float32),
-    )
-    g, d = Generator(cfg), Discriminator(cfg)
-    key = jax.random.PRNGKey(0)
-    params_g = g.init({"params": key, "dropout": key, "noise": key},
-                      reconst=True, **kw)
-    params_d = d.init({"params": key, "dropout": key, "noise": key},
-                      bbox=kw["bbox_real"], reconst=True,
-                      **{k: v for k, v in kw.items() if k not in ("z", "bbox_real")})
-    tx_g = build_optimizer(params_g, reg_interval=4, frozen_substrings=G_FROZEN_SUBSTRINGS)
-    tx_d = build_optimizer(params_d, reg_interval=16, frozen_substrings=D_FROZEN_SUBSTRINGS)
-
-    batch = dict(bboxes=kw["bbox_real"], labels=kw["bbox_class"],
-                 text_ids=kw["text_ids"], text_mask=kw["text_mask"],
-                 text_len=kw["text_len"], mask=~kw["padding_mask"],
-                 background=kw["background"])
-    step_fn = make_train_step(
-        g.apply, d.apply, tx_g, tx_d, batch_size=b, z_dim=cfg.z_dim,
-        max_elements=cfg.max_elements, deterministic=True,
-        text_feature_fn=make_text_feature_fn(cfg, flash=False))
-
-    def run(mesh, place_params):
-        state = GANTrainState.create(params_g, params_d, tx_g, tx_d)
-        state = place_params(state, mesh)
-        sb = shard_batch(batch, mesh)
-        st, stats = jax.jit(step_fn)(state, sb, jax.random.PRNGKey(1))
-        del st
-        return jax.device_get(stats)
-
-    stats_dp = run(make_mesh(8), replicate)
-    stats_tp = run(make_mesh(8, model_parallel=2), shard_params)
-    for k in stats_dp:
-        np.testing.assert_allclose(float(stats_tp[k]), float(stats_dp[k]),
-                                   rtol=5e-4, atol=5e-5)
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-4000:])
+    assert "TP_MESH OK" in out.stdout

@@ -16,13 +16,16 @@ import sys
 def test_training_loop_grad_accum_ada_and_resume(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
+    from __graft_entry__ import CPU_COLLECTIVE_TIMEOUT_FLAGS
+
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2"
+                        + CPU_COLLECTIVE_TIMEOUT_FLAGS)
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "tests", "_train_loop_driver.py"),
          str(tmp_path)],
-        cwd=repo, env=env, capture_output=True, text=True, timeout=1500,
+        cwd=repo, env=env, capture_output=True, text=True, timeout=2700,
     )
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-4000:])
     assert "TRAIN_LOOP_E2E OK" in out.stdout
