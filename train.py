@@ -73,6 +73,10 @@ def parse_comma_separated_list(s):
 @click.option("--background-size", type=click.IntRange(min=1), default=256, show_default=True)
 @click.option("--im-f-dim", type=click.IntRange(min=1), default=512, show_default=True)
 @click.option("--max-text-length", type=click.IntRange(min=1), default=256, show_default=True)
+@click.option("--backbone", type=click.Choice(["resnet50", "vit"]), default="resnet50",
+              show_default=True,
+              help="Image backbone (SURVEY §2.5: ViT is the optional alternative "
+                   "to the reference's ResNet50, training/networks_vit.py)")
 # Misc settings.
 @click.option("--desc", type=str)
 @click.option("--metrics", type=parse_comma_separated_list, default="layout_fid50k_val", show_default=True)
@@ -146,6 +150,7 @@ def main(**opts):
         im_f_dim=opts.im_f_dim,
         background_size=opts.background_size,
         max_text_length=opts.max_text_length,
+        backbone=opts.backbone,
     )
     # Derived weight arithmetic (reference train.py:262-275).
     weights = LossWeights(
