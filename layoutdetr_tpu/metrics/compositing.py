@@ -21,14 +21,8 @@ from __future__ import annotations
 import numpy as np
 import PIL.Image
 
-from layoutdetr_tpu.data.dataset import RGB_MEAN, RGB_STD
+from layoutdetr_tpu.data.dataset import denormalize_image as _denorm_uint8
 from layoutdetr_tpu.serving.postprocess import convert_xywh_to_ltrb
-
-
-def _denorm_uint8(arr: np.ndarray) -> np.ndarray:
-    """ImageNet-normalized float HWC -> uint8 (util.py:235-239 denorm+clip)."""
-    x = (arr * RGB_STD + RGB_MEAN) * 255.0
-    return np.clip(x, 0, 255).astype(np.uint8)
 
 
 def _resize(img_u8: np.ndarray, h: int, w: int) -> np.ndarray:

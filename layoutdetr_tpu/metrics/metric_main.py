@@ -145,23 +145,33 @@ def rendering_val(opts):
     rendered = 0
     item_idx = 0
     for bbox_fake, b in generate_layouts(opts, list(range(n)), batch=opts.get("batch", 16)):
-        # Post-process fakes exactly as the reference (:151-152).
-        bbox_fake = de_overlap(horizontal_center_aligned(bbox_fake, b["mask"]), b["mask"])
+        # Post-process fakes exactly as the reference (:151-152). The
+        # post-processors are batch-1 functions (they index [0, i] and
+        # pool the mask globally — serving calls them on single
+        # layouts), so apply them per sample.
+        bbox_fake = np.stack([
+            de_overlap(horizontal_center_aligned(
+                bbox_fake[k:k + 1], b["mask"][k:k + 1]), b["mask"][k:k + 1])[0]
+            for k in range(bbox_fake.shape[0])])
         for k in range(bbox_fake.shape[0]):
             mask = b["mask"][k]
-            item = dataset[item_idx]
-            texts = item["texts"]
+            this_idx = item_idx
             item_idx += 1
             labels = b["labels"][k]
             valid_labels = labels[mask].tolist()
             # Filter (:153-167): <=4 elements, only renderable types,
-            # each type at most once.
+            # each type at most once. Filter BEFORE re-decoding the
+            # item — most layouts are rejected, and dataset[i] is a
+            # full zip read + PNG decode (incl. the 1024^2 original
+            # background when loaded).
             if mask.sum() > 4:
                 continue
             if any(l not in _RENDER_SPECS for l in valid_labels):
                 continue
             if any(valid_labels.count(l) > 1 for l in set(valid_labels)):
                 continue
+            item = dataset[this_idx]
+            texts = item["texts"]
             if bds is not None:
                 bg_arr = denormalize_image(np.asarray(item["background_orig"]))
                 bg = PIL.Image.fromarray(bg_arr).resize(

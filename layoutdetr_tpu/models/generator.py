@@ -118,12 +118,15 @@ def make_text_feature_fn(cfg: "GeneratorConfig", dtype=jnp.float32,
     frozen BERT passes out of the phase graphs.
 
     ``flash``: use the fused Pallas attention kernel (safe here — the
-    hoisted pass is forward-only). Defaults to on for TPU backends."""
+    hoisted pass is forward-only). Defaults to on for a SINGLE-device
+    TPU backend only: a Mosaic pallas_call cannot be auto-partitioned
+    by GSPMD, so under a multi-device mesh (sharded batch inside the
+    jitted step) the default stays on the XLA attention path."""
     import jax
 
     bert_cfg = cfg.encoder_bert_config()
     if flash is None:
-        flash = jax.default_backend() == "tpu"
+        flash = jax.default_backend() == "tpu" and len(jax.devices()) == 1
     if flash:
         bert_cfg = dataclasses.replace(bert_cfg, flash_attention=True)
     enc = TextEncoder(bert_cfg, dtype=dtype)

@@ -128,9 +128,13 @@ TP_RULES = (
     ("value/bias", P("model")),
     ("attention/output_dense/kernel", P("model", None)),
     ("crossattention/output_dense/kernel", P("model", None)),
-    # BERT FFN
+    # BERT FFN: intermediate column-parallel; the down-projection
+    # (layer_N/output_dense — NOT under attention/, caught here only
+    # after the attention rules above) row-parallel, so the 4x-wide
+    # intermediate activation never all-gathers.
     ("intermediate_dense/kernel", P(None, "model")),
     ("intermediate_dense/bias", P("model")),
+    ("output_dense/kernel", P("model", None)),
     # DETR / decoder transformer FFNs (models/detr_transformer.py,
     # discriminator dec_transformer*): linear1 column-parallel,
     # linear2 row-parallel. Their packed-QKV attention kernels

@@ -184,6 +184,14 @@ def training_loop(
     if init_g or init_d:
         from layoutdetr_tpu.utils.checkpoint import graft
 
+        # Converted-torch inits embed BERT weights indexed by real HF
+        # WordPiece ids; pairing them with the offline hash-fallback
+        # tokenizer silently computes garbage. Same guard as
+        # evaluate.py/generate.py/api_server (data/tokenizer.py).
+        for p in (init_g, init_d):
+            if p:
+                dataset.tokenizer.require_hf_for_checkpoint(p)
+
         def load_tree(p):
             t = restore_checkpoint(p)
             return t.get("params", t) if isinstance(t, dict) and "params" in t else t
@@ -257,7 +265,13 @@ def training_loop(
             batch_size=batch_size, ema_rampup=ema_rampup,
             z_dim=gcfg.z_dim, max_elements=gcfg.max_elements,
             grad_accum=grad_accum,
-            text_feature_fn=make_text_feature_fn(gcfg, dtype or np.float32),
+            # Flash (Pallas) attention only on a single-device mesh: a
+            # Mosaic kernel cannot be auto-partitioned by GSPMD, so the
+            # sharded multi-chip step uses the XLA attention path.
+            text_feature_fn=make_text_feature_fn(
+                gcfg, dtype or np.float32,
+                flash=(jax.default_backend() == "tpu")
+                if mesh.devices.size == 1 else False),
             share_text_encoder=share_te,
         ),
         donate_argnums=(0,),

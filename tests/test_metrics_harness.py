@@ -113,9 +113,14 @@ def test_rendering_val_renders_real_and_fake(tiny_setup, tmp_path):
 
     g, params, ds = tiny_setup
     dataset = ClippedDataset(ds, TINY9.vocab_size)
+    # batch=6 over 6 samples x up-to-3 elements: the pooled valid count
+    # (up to 18) exceeds the 9-slot layout, so a post-processor applied
+    # batch-wide instead of per-sample (they are batch-1 functions)
+    # would IndexError — regression trap for the de_overlap/center-align
+    # cross-sample bug.
     result = metric_main.calc_metric(
         "rendering_val", g_apply=g.apply, params=params, dataset=dataset,
-        gcfg=TINY9, batch=3, seed=0, render_dir=str(tmp_path))
+        gcfg=TINY9, batch=6, seed=0, render_dir=str(tmp_path))
     r = result.results
     fake_dir, real_dir = r["rendering_fake_dir"], r["rendering_real_dir"]
     assert os.path.isdir(fake_dir) and os.path.isdir(real_dir)
