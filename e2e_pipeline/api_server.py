@@ -172,12 +172,23 @@ def handle_update(body: dict) -> dict:
             original = PIL.Image.open(stem + ".png")
             w_page, h_page = original.size
 
-            from layoutdetr_tpu.serving.render import make_browser
+            from layoutdetr_tpu.serving.render import make_browser, rerender_html_pil
 
-            browser = make_browser()
-            browser.get("file:///" + html_path)
-            png = browser.get_screenshot_as_png()
-            shot = PIL.Image.open(io.BytesIO(png)).crop([0, 0, w_page, h_page])
+            try:
+                browser = make_browser()
+            except Exception:
+                # No Chrome/selenium on this host: re-rasterize our own
+                # regular banner HTML directly with PIL (the reference
+                # hard-requires Chrome here, api_server.py:226-236).
+                browser = None
+            if browser is not None:
+                browser.get("file:///" + html_path)
+                png = browser.get_screenshot_as_png()
+                shot = PIL.Image.open(io.BytesIO(png)).crop([0, 0, w_page, h_page])
+            else:
+                shot = rerender_html_pil(item["htmlContent"],
+                                         os.path.dirname(html_path))
+                shot = shot.crop([0, 0, w_page, h_page])
             if w_page > w_thumb or h_page > h_thumb:
                 shot.thumbnail((w_thumb, h_thumb), PIL.Image.LANCZOS)
             shot.save(stem + "_vis.png")

@@ -194,6 +194,59 @@ def render_banner_pil(boxes, masks, styles, is_center, background_img,
     return out_path
 
 
+def rerender_html_pil(html: str, html_dir: str) -> PIL.Image.Image:
+    """Re-rasterize a banner from its (possibly user-edited) HTML with
+    PIL — the no-browser fallback for the ``/update`` route.
+
+    Only the regular HTML this module's ``compose_banner_html`` emits is
+    understood: one base ``<img src>`` plus absolutely-positioned text
+    divs with inline px geometry, font-size, rgba color (including the
+    reference's ``color:rgba:(...)`` extra-colon quirk for text
+    elements, generate_util.py:221) and an optional button
+    background-color pill. Edits to texts, positions, sizes, and colors
+    round-trip; arbitrary foreign HTML does not (the reference requires
+    Chrome for that, api_server.py:226-236).
+    """
+    import re
+
+    m = re.search(r'<img src="([^"]+)"', html)
+    if not m:
+        raise ValueError("no base <img> in banner HTML")
+    img = PIL.Image.open(os.path.join(html_dir, m.group(1))).convert("RGB")
+    draw = PIL.ImageDraw.Draw(img, "RGBA")
+
+    for dm in re.finditer(r'<div style="([^>]*position:absolute[^>]*)">([^<]*)</div>',
+                          html):
+        style, text = dm.group(1), dm.group(2)
+        if not text.strip():
+            continue
+
+        def px(name, default=0):
+            pm = re.search(rf"{name}:(-?[0-9.]+)px", style)
+            return float(pm.group(1)) if pm else default
+
+        left, top = px("left"), px("top")
+        w_tbox = px("width", img.size[0])
+        h_tbox = px("height", 20)
+        font_size = px("font-size", 16)
+        cm = re.search(r"[^-]color:rgba:?\s*(\([^)]*\))", style)
+        color = _parse_rgba(cm.group(1)) if cm else (0, 0, 0, 255)
+        bm = re.search(r"background-color:rgba:?\s*(\([^)]*\))", style)
+        if bm:  # button pill (compose_banner_html button branch)
+            draw.rounded_rectangle(
+                [left, top, left + w_tbox, top + h_tbox],
+                radius=int(h_tbox) // 2, fill=_parse_rgba(bm.group(1)))
+        try:
+            font = PIL.ImageFont.truetype("DejaVuSans.ttf", int(font_size))
+        except Exception:
+            font = PIL.ImageFont.load_default()
+        tw = draw.textlength(text, font=font)
+        tx = left + (w_tbox - tw) / 2
+        ty = top + (h_tbox - int(font_size)) / 2
+        draw.text((tx, ty), text, fill=color, font=font)
+    return img
+
+
 def make_browser():
     """Headless Chrome webdriver (api_server.py:58-78 semantics)."""
     from selenium import webdriver

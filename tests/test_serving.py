@@ -146,3 +146,28 @@ def test_api_handlers_upload_update_save(tmp_path, monkeypatch):
     (entry,) = out["updatedStatus"]
     assert entry["htmlName"] == "banner_x.html" and entry["status"] in ("success", "error")
     assert os.path.exists(os.path.join(api.GENERATED_DIR, "banner_x.html"))
+
+    # /update on OUR regular banner HTML succeeds without Chrome: the
+    # PIL fallback (rerender_html_pil) re-rasterizes edited text,
+    # geometry and the button pill.
+    bg = PIL.Image.new("RGB", (200, 100), (40, 40, 200))
+    bg.save(os.path.join(api.GENERATED_DIR, "banner_y.png"))
+    doc = ('<html><head></head><body style="margin:0px;">'
+           '<div style="position:relative;">'
+           '<img src="banner_y.png" style="position:absolute;top:0px;left:0px;">'
+           '<div style="position:absolute;display:flex;color:rgba:(255, 255, 255, 255);'
+           'font-size:14px;width:120px;height:30px;top:10px;left:20px;">EDITED HEAD</div>'
+           '<div style="position:absolute;display:flex;color:rgba(0, 0, 0, 255);'
+           'font-size:12px;width:80px;height:20px;top:60px;left:50px;'
+           'background-color:rgba(255, 255, 255, 255);">Tap</div>'
+           '</div></body></html>')
+    out2 = api.handle_update({"editedHTMLs": [
+        {"htmlName": "banner_y.html", "htmlContent": doc}]})
+    (entry2,) = out2["updatedStatus"]
+    assert entry2["status"] == "success", out2
+    vis = os.path.join(api.GENERATED_DIR, "banner_y_vis.png")
+    assert os.path.exists(vis)
+    arr = np.asarray(PIL.Image.open(vis).convert("RGB"))
+    assert arr.shape[:2] == (100, 200)
+    # The white button pill must have been drawn over the blue bg.
+    assert (arr[60:80, 50:130] > 200).all(axis=-1).any()
