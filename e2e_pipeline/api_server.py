@@ -42,6 +42,9 @@ def load_model(ckpt: str):
     if ckpt not in _MODEL_CACHE:
         from layoutdetr_tpu.models.generator import Generator, GeneratorConfig
         from layoutdetr_tpu.utils.checkpoint import restore_checkpoint
+        from layoutdetr_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
 
         restored = restore_checkpoint(ckpt)
         params = restored["params_gema"] if isinstance(restored, dict) and "params_gema" in restored else restored

@@ -47,6 +47,9 @@ def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
     from layoutdetr_tpu.metrics import metric_main
     from layoutdetr_tpu.models.generator import Generator, GeneratorConfig
     from layoutdetr_tpu.utils.checkpoint import restore_checkpoint
+    from layoutdetr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     dataset = LayoutDataset(data, background_size=background_size,
                             max_text_length=max_text_length)

@@ -93,6 +93,9 @@ def generate_images(ckpt, bg, bg_preprocessing, strings, string_labels, outfile,
     from layoutdetr_tpu.data.tokenizer import LayoutTokenizer
     from layoutdetr_tpu.models.generator import Generator, GeneratorConfig
     from layoutdetr_tpu.utils.checkpoint import restore_checkpoint
+    from layoutdetr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     print(f'Loading background image from "{bg}"...')
     background, background_orig = preprocess_background(bg, bg_preprocessing)

@@ -131,6 +131,10 @@ def main(**opts):
     import jax
     import jax.numpy as jnp
 
+    from layoutdetr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     # Resolve dataset metadata for num_bbox_labels.
     from layoutdetr_tpu.data.dataset import LayoutDataset
 
