@@ -1,8 +1,15 @@
 """Benchmark: full GAN train-step throughput (imgs/sec/chip).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "imgs/sec/chip", "vs_baseline": N,
+   "value_sustained": N, "value_burst": N}
 (diagnostics — step FLOPs, MFU, baseline derivation — go to stderr).
+
+The HEADLINE ``value`` is the SUSTAINED window (>=24 steps): this
+host's pooled/virtualized TPU backend grants short bursts ~2x above
+steady state (docs/BENCH_NOTES.md variance study), so a 6-step window
+alone would flatter the number. Both regimes are reported; both clear
+the >=3x BASELINE bar.
 
 Workload: the reference training config — two ResNet50s + two 12-layer
 768-wide BERT text encoders over 9 sequences x 256 tokens each
@@ -61,7 +68,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="tiny config")
     parser.add_argument("--batch", type=int, default=None)
-    parser.add_argument("--steps", type=int, default=6)
+    parser.add_argument("--burst-steps", type=int, default=6,
+                        help="short-window measurement (pool burst regime)")
+    parser.add_argument("--steps", type=int, default=24,
+                        help="sustained-window measurement (the headline)")
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--text-len", type=int, default=256,
                         help="reference workload: max_length=256 (networks_detr.py:145)")
@@ -156,23 +166,34 @@ def main():
         state, stats = step(state, batch, sk)
     jax.block_until_ready(state.params_g)
 
+    def timed_window(state, rng, n_steps):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            rng, sk = jax.random.split(rng)
+            state, _ = step(state, batch, sk)
+        jax.block_until_ready(state.params_g)
+        return state, rng, time.perf_counter() - t0
+
     if args.profile:
         jax.profiler.start_trace(args.profile)
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        rng, sk = jax.random.split(rng)
-        state, stats = step(state, batch, sk)
-    jax.block_until_ready(state.params_g)
-    dt = time.perf_counter() - t0
+    # Burst window first (fresh pool credit), sustained immediately
+    # after so it reflects steady state.
+    state, rng, dt_burst = timed_window(state, rng, args.burst_steps)
+    state, rng, dt_sust = timed_window(state, rng, args.steps)
     if args.profile:
         jax.profiler.stop_trace()
 
     n_chips = len(jax.devices())
-    imgs_per_sec_per_chip = b * args.steps / dt / n_chips
+    burst_ips = b * args.burst_steps / dt_burst / n_chips
+    imgs_per_sec_per_chip = b * args.steps / dt_sust / n_chips
+    print(f"[bench] sustained={imgs_per_sec_per_chip:.1f} imgs/s/chip "
+          f"({args.steps} steps, {dt_sust:.2f}s) | "
+          f"burst={burst_ips:.1f} imgs/s/chip "
+          f"({args.burst_steps} steps, {dt_burst:.2f}s)", file=sys.stderr)
 
     if flops_per_step:
         flops_per_img = flops_per_step / b
-        achieved = flops_per_step * args.steps / dt / n_chips
+        achieved = flops_per_step * args.steps / dt_sust / n_chips
         mfu = achieved / (args.peak_tflops * 1e12)
         ref_imgs_per_sec = A100_PEAK_FLOPS * REF_ASSUMED_MFU / flops_per_img
         note = ""
@@ -196,9 +217,12 @@ def main():
 
     print(json.dumps({
         "metric": "gan_train_step_throughput",
-        "value": round(imgs_per_sec_per_chip, 3),
+        "value": round(imgs_per_sec_per_chip, 3),  # sustained (headline)
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec_per_chip / ref_imgs_per_sec, 3),
+        "value_sustained": round(imgs_per_sec_per_chip, 3),
+        "value_burst": round(burst_ips, 3),
+        "vs_baseline_burst": round(burst_ips / ref_imgs_per_sec, 3),
     }))
 
 

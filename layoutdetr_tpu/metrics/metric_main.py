@@ -141,7 +141,15 @@ def rendering_val(opts):
         bds = None  # fall back to training-resolution backgrounds
 
     dataset = opts.dataset
-    n = min(len(dataset), opts.get("max_render", 64))
+    # Coverage: the reference scans the FULL val set
+    # (rendering_utils.py:120-152); --max-items (or the explicit
+    # max_render knob) caps the candidate scan, and any cap is logged so
+    # truncation never reads as full coverage.
+    cap = opts.get("max_render") or opts.get("max_items")
+    n = min(len(dataset), cap) if cap else len(dataset)
+    if n < len(dataset):
+        print(f"rendering_val: scanning {n} of {len(dataset)} val items "
+              f"(capped by {'max_render' if opts.get('max_render') else 'max_items'})")
     rendered = 0
     item_idx = 0
     for bbox_fake, b in generate_layouts(opts, list(range(n)), batch=opts.get("batch", 16)):

@@ -111,30 +111,70 @@ class TextEncoder(nn.Module):
 
 
 def make_text_feature_fn(cfg: "GeneratorConfig", dtype=jnp.float32,
-                         flash: Optional[bool] = None):
+                         flash: Optional[bool] = None, mesh=None,
+                         flash_interpret: bool = False):
     """Standalone text-CLS-feature extractor over a model's frozen
     ``text_encoder`` param subtree (params["params"]["text_encoder"] of a
     Generator or Discriminator). Used by the train step to hoist the
     frozen BERT passes out of the phase graphs.
 
     ``flash``: use the fused Pallas attention kernel (safe here — the
-    hoisted pass is forward-only). Defaults to on for a SINGLE-device
-    TPU backend only: a Mosaic pallas_call cannot be auto-partitioned
-    by GSPMD, so under a multi-device mesh (sharded batch inside the
-    jitted step) the default stays on the XLA attention path."""
+    hoisted pass is forward-only; defaults to on for TPU backends). A
+    Mosaic pallas_call cannot be auto-partitioned by GSPMD, so on a
+    multi-device ``mesh`` the whole extractor is wrapped in a
+    ``shard_map`` over the 'data' axis: the batch dimension of the
+    hoisted pass is embarrassingly parallel, so each shard runs the
+    fused kernel on its local slice (params replicated, per-shard
+    dropout streams folded from the data-axis index). Exception: a
+    tensor-parallel mesh ('model' axis > 1) shards the BERT kernels
+    themselves (parallel/mesh.py TP_RULES), which the data-axis-only
+    kernel can't express — TP runs fall back to the XLA attention path.
+
+    ``flash_interpret`` runs the kernel through the TPU interpreter
+    (CPU tests of the sharded flash path)."""
     import jax
 
     bert_cfg = cfg.encoder_bert_config()
     if flash is None:
-        flash = jax.default_backend() == "tpu" and len(jax.devices()) == 1
+        flash = jax.default_backend() == "tpu"
+    tp = (mesh is not None and "model" in mesh.axis_names
+          and mesh.shape["model"] > 1)
+    if tp:
+        flash = False
     if flash:
-        bert_cfg = dataclasses.replace(bert_cfg, flash_attention=True)
+        bert_cfg = dataclasses.replace(bert_cfg, flash_attention=True,
+                                       flash_interpret=flash_interpret)
     enc = TextEncoder(bert_cfg, dtype=dtype)
 
     def fn(text_encoder_params, text_ids, text_mask, deterministic=True, rngs=None):
         return enc.apply({"params": text_encoder_params}, text_ids, text_mask,
                          deterministic, rngs=rngs)
 
+    if flash and mesh is not None and mesh.shape.get("data", 1) > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def sharded_fn(text_encoder_params, text_ids, text_mask,
+                       deterministic=True, rngs=None):
+            det = bool(deterministic)
+            key = (rngs["dropout"] if isinstance(rngs, dict) and "dropout" in rngs
+                   else jax.random.PRNGKey(0))
+
+            def inner(params, ids, mask, k):
+                if det:
+                    local_rngs = None
+                else:
+                    local_rngs = {"dropout": jax.random.fold_in(
+                        k, jax.lax.axis_index("data"))}
+                return fn(params, ids, mask, det, rngs=local_rngs)
+
+            return shard_map(
+                inner, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P()),
+                out_specs=P("data"), check_rep=False,
+            )(text_encoder_params, text_ids, text_mask, key)
+
+        return sharded_fn
     return fn
 
 

@@ -66,6 +66,20 @@ class AugmentConfig:
     cutout_size: float = 0.5
 
 
+# Conditional-critic-safe group set: geometric warps (xflip/rot90/
+# translate/scale/rotate/aniso) move background content while the bbox
+# inputs to the SAME conditional D stay fixed, weakening exactly the
+# (bbox <-> background) alignment signal the critic must judge. Color,
+# band-filtering, noise and cutout perturb appearance without moving
+# content, so they are the default applied set; the full geometric pipe
+# stays available behind an explicit flag (train.py --aug-geom). The
+# reference never applied its pipe at all (dead hook, SURVEY.md §2.10),
+# so there is no parity anchor either way.
+CONDITIONAL_SAFE = AugmentConfig(
+    xflip=0.0, rotate90=0.0, xint=0.0, scale=0.0, rotate=0.0, aniso=0.0,
+    xfrac=0.0)
+
+
 def _build_fbank(num_bands: int = 4):
     """4-band wavelet filter bank for image-space filtering.
 

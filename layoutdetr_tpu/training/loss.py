@@ -66,39 +66,60 @@ def _model_inputs(batch: Dict[str, Any], text_feat_key: str = None) -> Dict[str,
     return out
 
 
-def _augmented(inputs: Dict[str, Any], batch: Dict[str, Any], rng) -> Dict[str, Any]:
+def _fold_rngs(rngs, i: int):
+    """Derive an independent rng dict for one forward pass.
+
+    The reference's separate forwards each draw fresh dropout masks;
+    handing the SAME rngs dict to two applies of the same module makes
+    their masks identical (an unintended shared-mask regularizer), so
+    every distinct forward inside a phase folds its own stream.
+    """
+    if not isinstance(rngs, dict):
+        return rngs
+    return {k: jax.random.fold_in(v, i) for k, v in rngs.items()}
+
+
+def _augmented(inputs: Dict[str, Any], batch: Dict[str, Any], rngs,
+               aug_cfg=None) -> Dict[str, Any]:
     """ADA-augment the background fed to the discriminator.
 
     The reference constructed an AugmentPipe but never applied it
     (SURVEY.md §2.10 dead hook); here 'aug_p' in the batch (set by the
     host ADA controller) activates the on-device pipeline for D inputs.
+    ``aug_cfg`` defaults to the conditional-critic-safe group set
+    (color/imgfilter/noise/cutout — geometric warps would desynchronize
+    the bbox inputs from the background; see augment.CONDITIONAL_SAFE).
     """
-    if "aug_p" not in batch:
+    if "aug_p" not in batch or not isinstance(rngs, dict):
         return inputs
-    from layoutdetr_tpu.training.augment import augment_pipe
+    from layoutdetr_tpu.training.augment import CONDITIONAL_SAFE, augment_pipe
 
     out = dict(inputs)
-    out["background"] = augment_pipe(inputs["background"], batch["aug_p"], rng)
+    out["background"] = augment_pipe(
+        inputs["background"], batch["aug_p"],
+        rngs.get("aug", jax.random.PRNGKey(0)),
+        cfg=aug_cfg if aug_cfg is not None else CONDITIONAL_SAFE)
     return out
 
 
 def g_main_loss(g_apply: Callable, d_apply: Callable, params_g, params_d,
                 batch: Dict[str, Any], z, rngs, w: LossWeights,
-                deterministic: bool = False) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                deterministic: bool = False, aug_cfg=None) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Gmain phase (loss.py:84-116): adversarial + reconstruction terms."""
     inputs = _model_inputs(batch, "text_feat_g")
     valid = batch["mask"]
+    rngs_g = _fold_rngs(rngs, 0)
+    rngs_d = _fold_rngs(rngs, 1)
 
     bbox_fake, loss_z, logit_cls, loss_lm, loss_text_len = g_apply(
         params_g, z=z, bbox_real=batch["bboxes"], reconst=True,
-        deterministic=deterministic, rngs=rngs, **inputs,
+        deterministic=deterministic, rngs=rngs_g, **inputs,
     )
     # D params are constants in this phase (grad is taken wrt params_g only).
     d_base = _model_inputs(batch, "text_feat_d")
-    d_inputs = _augmented(d_base, batch, rngs.get("aug", jax.random.PRNGKey(0))) \
-        if isinstance(rngs, dict) else d_base
+    d_inputs = _augmented(d_base, batch, rngs_d, aug_cfg)
     gen_logits, gen_logits_uncond = d_apply(
-        params_d, bbox=bbox_fake, deterministic=deterministic, rngs=rngs, **d_inputs,
+        params_d, bbox=bbox_fake, deterministic=deterministic, rngs=rngs_d, **d_inputs,
     )
 
     loss_Ggen = jax.nn.softplus(-gen_logits).mean()
@@ -133,21 +154,29 @@ def g_main_loss(g_apply: Callable, d_apply: Callable, params_g, params_d,
 
 def d_main_loss(g_apply: Callable, d_apply: Callable, params_g, params_d,
                 batch: Dict[str, Any], z, rngs, w: LossWeights,
-                deterministic: bool = False) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                deterministic: bool = False, aug_cfg=None) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Dmain phase = Dgen (loss.py:146-157) + Dreal (loss.py:161-206)."""
     g_inputs = _model_inputs(batch, "text_feat_g")
     valid = batch["mask"]
+    # Independent streams per forward: the reference's fake-pass and
+    # real-pass are separate forwards drawing independent dropout masks
+    # (loss.py:146-206); sharing one rngs dict across both d_apply calls
+    # would make the two passes' masks identical. ADA augmentation draws
+    # are likewise independent per D input.
+    rngs_g = _fold_rngs(rngs, 0)
+    rngs_dfake = _fold_rngs(rngs, 1)
+    rngs_dreal = _fold_rngs(rngs, 2)
 
     # Dgen: fakes from a frozen G.
     bbox_fake = jax.lax.stop_gradient(
         g_apply(params_g, z=z, bbox_real=batch["bboxes"], reconst=False,
-                deterministic=deterministic, rngs=rngs, **g_inputs)
+                deterministic=deterministic, rngs=rngs_g, **g_inputs)
     )
     d_base = _model_inputs(batch, "text_feat_d")
-    d_inputs = _augmented(d_base, batch, rngs.get("aug", jax.random.PRNGKey(0))) \
-        if isinstance(rngs, dict) else d_base
+    d_inputs_fake = _augmented(d_base, batch, rngs_dfake, aug_cfg)
     gen_logits, gen_logits_uncond = d_apply(
-        params_d, bbox=bbox_fake, deterministic=deterministic, rngs=rngs, **d_inputs
+        params_d, bbox=bbox_fake, deterministic=deterministic, rngs=rngs_dfake,
+        **d_inputs_fake
     )
     loss_Dgen = jax.nn.softplus(gen_logits).mean()
     loss_Dgen_uncond = jax.nn.softplus(gen_logits_uncond).mean()
@@ -155,10 +184,11 @@ def d_main_loss(g_apply: Callable, d_apply: Callable, params_g, params_d,
     # Dreal with reconstruction heads. Note: the bg reconstruction target
     # stays the clean background (augmenting the target would corrupt the
     # reconstruction objective), so only the critic input is augmented.
+    d_inputs_real = _augmented(d_base, batch, rngs_dreal, aug_cfg)
     (real_logits, real_logits_uncond, bbox_rec, bbox_cls_logits, loss_lm,
      loss_text_len, bg_rec, bbox_rec_uncond, bbox_cls_logits_uncond) = d_apply(
         params_d, bbox=batch["bboxes"], reconst=True,
-        deterministic=deterministic, rngs=rngs, **d_inputs,
+        deterministic=deterministic, rngs=rngs_dreal, **d_inputs_real,
     )
     loss_Dreal = jax.nn.softplus(-real_logits).mean()
     loss_Dreal_uncond = jax.nn.softplus(-real_logits_uncond).mean()

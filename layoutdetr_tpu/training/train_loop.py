@@ -89,6 +89,29 @@ def init_models(gcfg: GeneratorConfig, dataset_sample: dict, batch_gpu: int, see
 _SNAPSHOT_JIT_CACHE: dict = {}
 
 
+def _cpu_mem_gb() -> float:
+    """Peak RSS of this process in GB (reference status-line 'cpumem',
+    training_loop.py:353)."""
+    try:
+        import resource
+
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+    except Exception:
+        return 0.0
+
+
+def _device_mem_gb():
+    """(in-use, peak) device memory in GB, or (0, 0) when the backend
+    does not expose allocator stats (reference 'gpumem'/'reserved',
+    training_loop.py:354-356)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return (stats.get("bytes_in_use", 0) / 2**30,
+                stats.get("peak_bytes_in_use", 0) / 2**30)
+    except Exception:
+        return 0.0, 0.0
+
+
 def _save_image_snapshot(run_dir, g, state, dataset, gcfg, cur_nimg, n_samples=4):
     """Save EMA-generator layout previews as bbox overlays
     (reference: training_loop.py:372-392 saves fake grids per tick)."""
@@ -103,11 +126,14 @@ def _save_image_snapshot(run_dir, g, state, dataset, gcfg, cur_nimg, n_samples=4
         z = jax.random.normal(jax.random.PRNGKey(int(cur_nimg)), (n, gcfg.max_elements, gcfg.z_dim))
         # jit is essential: an unjitted forward dispatches op-by-op,
         # which on remote-compile TPU backends means hundreds of tiny
-        # compiles. Cached across ticks.
-        jitted = _SNAPSHOT_JIT_CACHE.get(id(g))
+        # compiles. Cached across ticks, keyed by the module config
+        # (an id(g) key could alias a different module after GC reuses
+        # the address).
+        cache_key = (g.cfg, str(g.dtype))
+        jitted = _SNAPSHOT_JIT_CACHE.get(cache_key)
         if jitted is None:
             jitted = jax.jit(g.apply)
-            _SNAPSHOT_JIT_CACHE[id(g)] = jitted
+            _SNAPSHOT_JIT_CACHE[cache_key] = jitted
         bbox_fake = np.asarray(jitted(
             state.params_gema, z=z, bbox_real=b["bboxes"],
             bbox_class=b["labels"], text_ids=b["text_ids"], text_mask=b["text_mask"],
@@ -152,11 +178,20 @@ def training_loop(
     aug: str = "noaug",
     aug_p: float = 0.2,
     ada_target: Optional[float] = None,
+    ada_kimg: float = 500.0,
+    aug_geom: bool = False,
     n_devices: Optional[int] = None,
     model_parallel: int = 1,
 ):
     """Run GAN training. Returns the final GANTrainState (host copy)."""
     start_time = time.time()
+    if resume:
+        # Resume parity (reference train.py:290-292): a resumed run
+        # disables the EMA ramp-up (the EMA continues at its full
+        # half-life instead of re-ramping from scratch) and speeds the
+        # ADA controller up (ada_kimg=100).
+        ema_rampup = None
+        ada_kimg = min(ada_kimg, 100.0)
     mesh = make_mesh(n_devices, model_parallel=model_parallel)
     n_dev = mesh.shape["data"]  # batch divides the DATA axis only
     assert batch_size % n_dev == 0, "batch must divide the data-parallel mesh"
@@ -259,20 +294,26 @@ def training_loop(
     from layoutdetr_tpu.parallel.mesh import collective_compiler_options
 
     copts = collective_compiler_options(mesh)
+    aug_cfg = None  # None -> loss._augmented's CONDITIONAL_SAFE default
+    if aug_geom:
+        from layoutdetr_tpu.training.augment import AugmentConfig
+
+        aug_cfg = AugmentConfig()
     step_fn = jax.jit(
         make_train_step(
             g.apply, d.apply, tx_g, tx_d, weights=loss_weights,
             batch_size=batch_size, ema_rampup=ema_rampup,
             z_dim=gcfg.z_dim, max_elements=gcfg.max_elements,
             grad_accum=grad_accum,
-            # Flash (Pallas) attention only on a single-device mesh: a
-            # Mosaic kernel cannot be auto-partitioned by GSPMD, so the
-            # sharded multi-chip step uses the XLA attention path.
+            # Flash (Pallas) attention on any TPU mesh: multi-device
+            # meshes run the fused kernel per data shard via shard_map
+            # (TP meshes fall back to XLA attention — see
+            # make_text_feature_fn).
             text_feature_fn=make_text_feature_fn(
                 gcfg, dtype or np.float32,
-                flash=(jax.default_backend() == "tpu")
-                if mesh.devices.size == 1 else False),
+                flash=(jax.default_backend() == "tpu"), mesh=mesh),
             share_text_encoder=share_te,
+            aug_cfg=aug_cfg,
         ),
         donate_argnums=(0,),
         compiler_options=copts,
@@ -300,6 +341,7 @@ def training_loop(
     cur_tick = 0
     tick_start_nimg = cur_nimg
     tick_start_time = time.time()
+    maintenance_time = 0.0
     rng = jax.random.PRNGKey(random_seed)
     batch_idx = 0
     pending_stats = None
@@ -312,7 +354,7 @@ def training_loop(
     if aug == "ada":
         from layoutdetr_tpu.training.augment import AdaController
 
-        ada = AdaController(target=ada_target or 0.6, initial_p=0.0)
+        ada = AdaController(target=ada_target or 0.6, kimg=ada_kimg, initial_p=0.0)
         cur_aug_p = ada.p
     elif aug == "fixed":
         cur_aug_p = aug_p
@@ -363,19 +405,41 @@ def training_loop(
         collector.update()
         tick_end_time = time.time()
         if is_chief:
+            # Status line (reference training_loop.py:346-357):
+            # maintenance = host time spent in the PREVIOUS tick's
+            # end-of-tick work (snapshots/metrics/logging); cpumem =
+            # peak process RSS; mem/peak = device allocator stats where
+            # the backend exposes them.
+            mem_now, mem_peak = _device_mem_gb()
             fields = [
                 f"tick {cur_tick:<5d}",
                 f"kimg {cur_nimg / 1e3:<8.1f}",
                 f"time {tick_end_time - start_time:<12.1f}",
                 f"sec/tick {tick_end_time - tick_start_time:<7.1f}",
                 f"sec/kimg {(tick_end_time - tick_start_time) / max((cur_nimg - tick_start_nimg) / 1e3, 1e-8):<7.2f}",
+                f"maintenance {maintenance_time:<6.1f}",
+                f"cpumem {_cpu_mem_gb():<6.2f}",
+                f"mem {mem_now:<6.2f}",
+                f"peak {mem_peak:<6.2f}",
             ]
+            if aug != "noaug":
+                fields += [f"augment {cur_aug_p:.3f}"]
             print(" ".join(fields))
             if jsonl is not None:
-                jsonl.write(collector.as_dict(), extra={"kimg": cur_nimg / 1e3, "tick": cur_tick})
+                extra = {"kimg": cur_nimg / 1e3, "tick": cur_tick,
+                         "sec_per_kimg": (tick_end_time - tick_start_time)
+                         / max((cur_nimg - tick_start_nimg) / 1e3, 1e-8),
+                         "maintenance": maintenance_time,
+                         "cpumem_gb": _cpu_mem_gb(),
+                         "devmem_gb": mem_now, "devmem_peak_gb": mem_peak}
+                if aug != "noaug":
+                    extra["augment_p"] = cur_aug_p
+                jsonl.write(collector.as_dict(), extra=extra)
             if tb is not None:
                 for name in collector.names():
                     tb.scalar(name, collector.mean(name), cur_nimg)
+                if aug != "noaug":
+                    tb.scalar("Progress/augment", cur_aug_p, cur_nimg)
                 tb.flush()
 
         if progress_fn is not None:
@@ -403,6 +467,7 @@ def training_loop(
         cur_tick += 1
         tick_start_nimg = cur_nimg
         tick_start_time = time.time()
+        maintenance_time = tick_start_time - tick_end_time
         if done:
             break
 

@@ -129,6 +129,7 @@ def make_train_step(
     grad_accum: int = 1,
     text_feature_fn: Optional[Callable] = None,
     share_text_encoder: bool = False,
+    aug_cfg: Any = None,
 ):
     """Returns step(state, batch, rng) -> (state, stats): Gmain+Dmain+EMA.
 
@@ -185,7 +186,8 @@ def make_train_step(
         # --- Gmain ---
         def g_loss(p, mb, rng_z, rngs):
             return g_main_loss(g_apply, d_apply, p, state.params_d, mb,
-                               sample_z(rng_z, mb), rngs, weights, deterministic)
+                               sample_z(rng_z, mb), rngs, weights, deterministic,
+                               aug_cfg)
 
         g_grads, g_stats = _accum_phase(g_loss, state.params_g, batch, rng_g,
                                         grad_accum, make_rngs)
@@ -196,7 +198,8 @@ def make_train_step(
         # --- Dmain (fresh z, matching the reference's per-phase z split) ---
         def d_loss(p, mb, rng_z, rngs):
             return d_main_loss(g_apply, d_apply, params_g, p, mb,
-                               sample_z(rng_z, mb), rngs, weights, deterministic)
+                               sample_z(rng_z, mb), rngs, weights, deterministic,
+                               aug_cfg)
 
         d_grads, d_stats = _accum_phase(d_loss, state.params_d, batch, rng_d,
                                         grad_accum, make_rngs)

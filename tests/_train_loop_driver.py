@@ -84,6 +84,24 @@ def main(tmp_dir: str) -> None:
         max_steps=1, resume=snap_path,
     )
     assert int(np.asarray(state2.step)) == 4
+
+    # Resume parity (reference train.py:290-292): a resumed run must NOT
+    # re-ramp the EMA. training_loop forces ema_rampup=None on resume,
+    # so after one resumed step the EMA moves by only (1 - beta) of its
+    # gap to the live params (beta = 0.5**(batch/ema_nimg) ~ 0.998 at
+    # this config). A re-ramping EMA would instead jump ~94% of the way
+    # to params_g (ema_nimg capped at cur_nimg * 0.05).
+    def tree_dist(a, b):
+        sq = jax.tree.map(
+            lambda x, y: float(np.sum((np.asarray(x, np.float64)
+                                       - np.asarray(y, np.float64)) ** 2)), a, b)
+        return float(np.sqrt(sum(jax.tree.leaves(sq))))
+
+    e0 = state.params_gema  # snapshot EMA (snapshot written at run-1 end)
+    moved = tree_dist(state2.params_gema, e0)
+    gap = tree_dist(state2.params_g, e0)
+    assert moved < 0.1 * gap, (
+        f"EMA re-ramped on resume: moved {moved:.3e} of gap {gap:.3e}")
     print("TRAIN_LOOP_E2E OK")
 
 

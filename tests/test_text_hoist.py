@@ -67,6 +67,45 @@ def test_discriminator_hoisted_text_feat_matches_inline():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_sharded_flash_text_feature_matches_xla():
+    """Multi-device flash path (shard_map over 'data' + Pallas kernel in
+    interpret mode) must match the GSPMD XLA attention path — this is
+    the production multi-chip configuration (train_loop passes the mesh
+    so the fused kernel runs per data shard instead of being disabled)."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+
+    g = Generator(TINY)
+    kw = _batch(b=4)
+    params = g.init({"params": jax.random.PRNGKey(0)}, **kw)
+    te = params["params"]["text_encoder"]
+
+    tfn_xla = make_text_feature_fn(TINY, flash=False)
+    tfn_flash = make_text_feature_fn(TINY, flash=True, mesh=mesh,
+                                     flash_interpret=True)
+    ref = np.asarray(tfn_xla(te, kw["text_ids"], kw["text_mask"]))
+    out = np.asarray(tfn_flash(te, kw["text_ids"], kw["text_mask"]))
+    assert out.shape == (4, 3, TINY.bert_f_dim)
+    np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-5)
+
+    # Dropout path: per-shard streams are folded from the data-axis
+    # index; just assert it executes and stays finite (masks differ
+    # from the XLA path's by design).
+    noisy = np.asarray(tfn_flash(te, kw["text_ids"], kw["text_mask"],
+                                 deterministic=False,
+                                 rngs={"dropout": jax.random.PRNGKey(3)}))
+    assert np.isfinite(noisy).all()
+
+    # TP meshes fall back to the XLA path (kernel is data-axis-only).
+    mesh2 = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "model"))
+    tfn_tp = make_text_feature_fn(TINY, flash=True, mesh=mesh2)
+    tp_out = np.asarray(tfn_tp(te, kw["text_ids"], kw["text_mask"]))
+    np.testing.assert_allclose(tp_out, ref, atol=3e-5, rtol=1e-5)
+
+
 def test_hoisted_train_step_runs_and_updates():
     from layoutdetr_tpu.models.discriminator import Discriminator
     from layoutdetr_tpu.training.optimizers import (

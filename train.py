@@ -49,6 +49,12 @@ def parse_comma_separated_list(s):
 @click.option("--z-rec-weight", type=click.FloatRange(min=0), default=5.0, show_default=True)
 # Optional features.
 @click.option("--aug", type=click.Choice(["noaug", "ada", "fixed"]), default="noaug", show_default=True)
+@click.option("--aug-geom/--no-aug-geom", "aug_geom", default=False, show_default=True,
+              help="Include geometric warps (flip/rotate/translate/scale) in the "
+                   "ADA pipe. Off by default: warping the background while the "
+                   "bbox inputs stay fixed weakens the conditional critic's "
+                   "alignment signal (augment.CONDITIONAL_SAFE keeps "
+                   "color/filter/noise/cutout)")
 @click.option("--resume", type=str, metavar="[PATH]")
 @click.option("--init-g", type=str, default=None,
               help="Converted checkpoint to graft onto fresh G params at cold "
@@ -279,7 +285,12 @@ def main(**opts):
             max_steps=opts.max_steps,
             aug=opts.aug,
             aug_p=opts.aug_p,
+            aug_geom=opts.aug_geom,
             ada_target=opts.ada_target,
+            # Resume parity is applied inside training_loop (reference
+            # train.py:290-292: ema_rampup=None, ada_kimg=100 on resume).
+            ema_rampup=0.05,
+            ada_kimg=500.0,
             n_devices=opts.chips,
             metrics_fn=metrics_fn,
         )
