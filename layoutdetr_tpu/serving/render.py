@@ -76,11 +76,18 @@ def get_adaptive_font_button_color(img):
 
 
 def _element_geometry(box, style, is_center, w_page, h_page):
-    """Resolve one element's pixel geometry + font, incl. button pill."""
+    """Resolve one element's pixel geometry + font, incl. button pill.
+
+    Also returns ``raw_box``, the pre-pill pixel ltrb: the reference
+    resolves the adaptive FONT color from the original box crop before
+    the button-pill resize (generate_util.py:206-215 precedes the
+    resize at 220-236), while the button BACKGROUND color uses the
+    resized crop (generate_util.py:252-255)."""
     x1, y1, x2, y2 = convert_xywh_to_ltrb(box)
     x1, x2 = max(0, int(x1 * w_page)), min(w_page - 1, int(x2 * w_page))
     y1, y2 = max(0, int(y1 * h_page)), min(h_page - 1, int(y2 * h_page))
     h_tbox, w_tbox = int(y2 - y1 + 1), int(x2 - x1 + 1)
+    raw_box = (int(x1), int(y1), int(x2), int(y2))
     text = style.get("text", "")
     font_size, text_width = get_adaptive_font_size(w_tbox, h_tbox, h_page, text, style["type"])
 
@@ -100,7 +107,10 @@ def _element_geometry(box, style, is_center, w_page, h_page):
             y2 = min(h_page - 1, y_mid + mar)
             x2 = min(w_page - 1, x1 + text_width + mar * 2)
         h_tbox, w_tbox = int(y2 - y1 + 1), int(x2 - x1 + 1)
-    return int(x1), int(y1), int(x2), int(y2), w_tbox, h_tbox, font_size
+    # No int() cast: after the pill resize the reference's coords are
+    # FLOATS and its CSS carries them verbatim ("top:43.9px",
+    # generate_util.py:247-248); non-button coords are already ints.
+    return x1, y1, x2, y2, w_tbox, h_tbox, font_size, raw_box
 
 
 def compose_banner_html(boxes, masks, styles: List[dict], is_center: bool,
@@ -116,14 +126,15 @@ def compose_banner_html(boxes, masks, styles: List[dict], is_center: bool,
         text = style.get("text", "")
         if not text:
             continue
-        x1, y1, x2, y2, w_tbox, h_tbox, font_size = _element_geometry(
+        x1, y1, x2, y2, w_tbox, h_tbox, font_size, raw_box = _element_geometry(
             boxes[i], style, is_center, w_page, h_page)
 
         font_color = style.get("style", {}).get("color", "")
         if font_color:
             font_color = f"color:{font_color};"
         else:
-            crop = background_img.crop([x1, y1, x2, y2])
+            # font color from the PRE-pill crop (generate_util.py:206-215)
+            crop = background_img.crop(list(raw_box))
             if style["type"] == "button":
                 font_color = f"color:{get_adaptive_font_button_color(crop)[0]};"
             else:
@@ -140,12 +151,16 @@ def compose_banner_html(boxes, masks, styles: List[dict], is_center: bool,
         css += f"top:{y1}px;left:{x1}px;"
         if style["type"].lower() == "button":
             params = style.get("buttonParams", {})
+            # button bg color from the POST-pill crop (generate_util.py:252-255)
             bg = params.get("backgroundColor") or get_adaptive_font_button_color(
                 background_img.crop([x1, y1, x2, y2]))[1]
             css += f"background-color:{bg};"
             if params.get("radius"):
                 css += f"border-radius:{str(params['radius']).strip()}em;"
-        divs.append(f'<div style="{css}">{html.escape(text)}</div>')
+        # single-quoted style attr (it embeds the reference's id="..."
+        # double-quote quirk) and minimal &/</> text escaping — the same
+        # serialization bs4 emits for the reference's saved HTML.
+        divs.append(f"<div style='{css}'>{html.escape(text, quote=False)}</div>")
 
     doc = HTML_TEMP.replace('src=""', f'src="{img_src}"')
     return doc.replace("</div></body>", "".join(divs) + "</div></body>")
@@ -172,16 +187,18 @@ def render_banner_pil(boxes, masks, styles, is_center, background_img,
         text = style.get("text", "")
         if not text:
             continue
-        x1, y1, x2, y2, w_tbox, h_tbox, font_size = _element_geometry(
+        x1, y1, x2, y2, w_tbox, h_tbox, font_size, raw_box = _element_geometry(
             boxes[i], style, is_center, w_page, h_page)
-        crop = background_img.crop([x1, y1, x2, y2])
         if style["type"] == "button":
-            fc, bg = get_adaptive_font_button_color(crop)
+            # font color from the pre-pill crop, pill bg from the resized
+            # crop — same resolution order as compose_banner_html.
+            fc = get_adaptive_font_button_color(background_img.crop(list(raw_box)))[0]
+            bg = get_adaptive_font_button_color(background_img.crop([x1, y1, x2, y2]))[1]
             draw.rounded_rectangle([x1, y1, x2, y2], radius=h_tbox // 2,
                                    fill=_parse_rgba(bg))
             color = _parse_rgba(fc)
         else:
-            color = _parse_rgba(get_adaptive_font_color(crop))
+            color = _parse_rgba(get_adaptive_font_color(background_img.crop(list(raw_box))))
         try:
             font = PIL.ImageFont.truetype("DejaVuSans.ttf", int(font_size))
         except Exception:

@@ -78,6 +78,8 @@ def import_reference_module(name):
         "timm.models.layers", "timm.models.helpers",
         "fairscale", "fairscale.nn", "fairscale.nn.checkpoint",
         "fairscale.nn.checkpoint.checkpoint_activations",
+        "selenium", "selenium.webdriver", "selenium.webdriver.chrome",
+        "selenium.webdriver.chrome.options",
     ]:
         if stub_name not in sys.modules:
             mod = types.ModuleType(stub_name)
@@ -107,6 +109,10 @@ def import_reference_module(name):
                 mod.adapt_input_conv = None
             if stub_name == "fairscale.nn.checkpoint.checkpoint_activations":
                 mod.checkpoint_wrapper = lambda m, *a, **k: m
+            if stub_name == "selenium.webdriver":
+                mod.Chrome = None  # generate_util.py:33 `from selenium.webdriver import Chrome`
+            if stub_name == "selenium.webdriver.chrome.options":
+                mod.Options = object
             if stub_name == "pkg_resources":
                 from packaging.version import parse as _parse_version
 

@@ -111,6 +111,78 @@ def test_render_banner_pil(tmp_path):
     assert "Big Sale" in html and "background-color:" in html and "border-radius:0.5em" in html
 
 
+def test_banner_html_golden_vs_reference(tmp_path):
+    """Full-artifact golden: run the reference's visualize_banner
+    (generate_util.py:187-289, output_format=['html'] — browser untouched)
+    and ours on identical inputs, then require the saved HTML artifacts to
+    agree EXACTLY on per-div CSS style strings, div order, texts, and img
+    src naming. Covers adaptive + explicit colors, the button pill
+    resize + radius, the reference's `rgba:` color quirk, empty-text
+    skipping, masked elements, and both alignment modes — byte-level
+    parity of the layout-bearing DOM without needing a browser."""
+    ref = import_reference_module("generate_util")
+    if ref is None:
+        pytest.skip("reference tree or torch unavailable")
+    import os
+
+    from bs4 import BeautifulSoup
+
+    from layoutdetr_tpu.serving.render import visualize_banner
+
+    rng = np.random.RandomState(5)
+    # Gradient + noise background so adaptive colors genuinely depend on
+    # WHICH crop is taken (pre- vs post-pill-resize geometry).
+    arr = (np.linspace(0, 255, 160)[None, :, None] * np.ones((120, 1, 3))).astype(np.uint8)
+    arr[:, :, 2] = rng.randint(0, 255, size=(120, 160)).astype(np.uint8)
+    bg = PIL.Image.fromarray(arr)
+
+    boxes = np.array([
+        [0.30, 0.15, 0.45, 0.12],   # header: adaptive font color
+        [0.30, 0.40, 0.25, 0.08],   # button: adaptive colors + pill + radius
+        [0.62, 0.62, 0.30, 0.10],   # body: explicit color + family
+        [0.50, 0.85, 0.20, 0.06],   # empty text -> skipped
+        [0.50, 0.50, 0.20, 0.06],   # masked out
+    ], np.float32)
+    masks = np.array([True, True, True, True, False])
+    styles = [
+        {"type": "header", "text": "Summer Sale & more",
+         "style": {"color": "", "fontFamily": ""}},
+        {"type": "button", "text": "Shop Now",
+         "style": {"color": "", "fontFamily": "Helvetica"},
+         "buttonParams": {"backgroundColor": "", "radius": 0.5}},
+        {"type": "body", "text": "Up to 70% off",
+         "style": {"color": "rgba(10,20,30,255)", "fontFamily": "Arial"}},
+        {"type": "disclaimer / footnote", "text": "",
+         "style": {"color": "", "fontFamily": ""}},
+        {"type": "header", "text": "unused",
+         "style": {"color": "", "fontFamily": ""}},
+    ]
+
+    def div_specs(path):
+        with open(path) as f:
+            soup = BeautifulSoup(f.read(), "html.parser")
+        divs = [(d.get_text(), d.get("style"))
+                for d in soup.find_all("div")
+                if d.get("style") and "position:absolute" in d["style"]]
+        return divs, soup.find("img")["src"]
+
+    for is_center in (True, False):
+        ref_base = str(tmp_path / f"ref_{int(is_center)}")
+        our_base = str(tmp_path / f"our_{int(is_center)}")
+        ref.visualize_banner(boxes.copy(), masks.copy(), styles, is_center,
+                             bg.copy(), None, ["html"], ref_base)
+        visualize_banner(boxes.copy(), masks.copy(), styles, is_center,
+                         bg.copy(), None, ["html"], our_base)
+        ref_divs, ref_src = div_specs(ref_base + ".html")
+        our_divs, our_src = div_specs(our_base + ".html")
+        assert ref_src == os.path.basename(ref_base) + ".png"
+        assert our_src == os.path.basename(our_base) + ".png"
+        assert len(ref_divs) == len(our_divs) == 3, (ref_divs, our_divs)
+        for (rt, rs), (ot, os_) in zip(ref_divs, our_divs):
+            assert ot == rt
+            assert os_ == rs, f"center={is_center}\nref: {rs}\nour: {os_}"
+
+
 def test_api_handlers_upload_update_save(tmp_path, monkeypatch):
     """HTTP handler schemas (reference api_server.py:85-253): /upload
     stores the image, /update returns the updatedStatus list, /save is
