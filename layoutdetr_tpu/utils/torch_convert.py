@@ -499,15 +499,47 @@ def main():
                              "detr_transformer", "stylegan2_decoder",
                              "generator", "discriminator", "inception"])
     ap.add_argument("--src", required=True,
-                    help=".pth/.pth.tar state dict, or .npz from tools/extract_reference_pkl.py")
+                    help=".pth/.pth.tar state dict, .npz from tools/extract_reference_pkl.py, "
+                         "or a reference snapshot .pkl (read safely in-process — no "
+                         "reference env needed; see utils/legacy_pkl.py)")
     ap.add_argument("--dest", required=True)
     ap.add_argument("--num-layers", type=int, default=12)
+    ap.add_argument("--pkl-key", default=None,
+                    help="which module to take from a snapshot .pkl "
+                         "(G_ema/G/D; default: G_ema for --kind generator, D for discriminator)")
     args = ap.parse_args()
 
+    pkl_meta = None
     if args.src.endswith(".npz"):
         sd = dict(np.load(args.src))
+    elif args.src.endswith(".pkl"):
+        from layoutdetr_tpu.utils.legacy_pkl import infer_bert_layers, load_network_pkl
+
+        assert args.kind in ("generator", "discriminator"), \
+            "--src *.pkl extracts full G/D modules; use --kind generator|discriminator"
+        key = args.pkl_key or ("D" if args.kind == "discriminator" else "G_ema")
+        nets = load_network_pkl(args.src)
+        if nets.get(key) is None and key == "G_ema":
+            key = "G"
+        assert nets.get(key) is not None, f"{args.src} has no {key!r} module"
+        sd = nets[key]["state_dict"]
+        pkl_meta = {"pkl_key": key, "class": nets[key]["class"],
+                    **infer_bert_layers(sd)}
+        print(f"extracted {key} ({pkl_meta['class']}): {len(sd)} tensors, "
+              f"{pkl_meta['bert_encoder_layers']}+{pkl_meta['bert_decoder_layers']} "
+              f"BERT layers, vocab {pkl_meta['vocab_size']}")
     else:
         sd = load_torch_state_dict(args.src)
+
+    if pkl_meta:
+        kw = dict(bert_encoder_layers=pkl_meta["bert_encoder_layers"] or 12,
+                  bert_decoder_layers=pkl_meta["bert_decoder_layers"] or 2,
+                  vocab_size=pkl_meta["vocab_size"] or 30524)
+        cg = lambda: convert_generator(sd, **kw)  # noqa: E731
+        cd = lambda: convert_discriminator(sd, **kw)  # noqa: E731
+    else:
+        cg = lambda: convert_generator(sd)  # noqa: E731
+        cd = lambda: convert_discriminator(sd)  # noqa: E731
     tree = {
         "resnet50": lambda: convert_resnet50(sd),
         "bert_encoder": lambda: convert_bert_encoder(sd, args.num_layers),
@@ -515,8 +547,8 @@ def main():
         "layoutnet": lambda: convert_layoutnet(sd),
         "detr_transformer": lambda: convert_detr_transformer(sd),
         "stylegan2_decoder": lambda: convert_stylegan2_decoder(sd),
-        "generator": lambda: convert_generator(sd),
-        "discriminator": lambda: convert_discriminator(sd),
+        "generator": cg,
+        "discriminator": cd,
         "inception": lambda: convert_inception(sd),
     }[args.kind]()
     save_checkpoint(args.dest, {"params": tree})
