@@ -40,18 +40,13 @@ _MODEL_CACHE: Dict[str, object] = {}
 def load_model(ckpt: str):
     """Cached generator load (reference generate_util.py:344-351)."""
     if ckpt not in _MODEL_CACHE:
-        from layoutdetr_tpu.models.generator import Generator, GeneratorConfig
-        from layoutdetr_tpu.utils.checkpoint import restore_checkpoint
+        from layoutdetr_tpu.models.generator import Generator
+        from layoutdetr_tpu.utils.checkpoint import load_generator_checkpoint
         from layoutdetr_tpu.utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()
 
-        restored = restore_checkpoint(ckpt)
-        params = restored["params_gema"] if isinstance(restored, dict) and "params_gema" in restored else restored
-        gcfg = GeneratorConfig()
-        if os.path.exists(ckpt + ".gcfg.json"):
-            with open(ckpt + ".gcfg.json") as f:
-                gcfg = GeneratorConfig(**json.load(f))
+        params, gcfg = load_generator_checkpoint(ckpt)
         _MODEL_CACHE[ckpt] = (Generator(gcfg), params, gcfg)
     return _MODEL_CACHE[ckpt]
 

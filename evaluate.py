@@ -25,7 +25,7 @@ def parse_comma_separated_list(s):
 
 
 @click.command()
-@click.option("--ckpt", required=True, help="Checkpoint directory (orbax)")
+@click.option("--ckpt", required=True, help="Checkpoint: orbax directory or reference snapshot .pkl")
 @click.option("--data", required=True, help="Validation zip")
 @click.option("--metrics", type=parse_comma_separated_list,
               default="layout_fid50k_val,overlap50k_alignment50k_layoutwise_iou50k_layoutwise_docsim50k_val",
@@ -45,8 +45,9 @@ def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
          max_items, layoutnet_ckpt, inception_ckpt, seed, run_dir):
     from layoutdetr_tpu.data.dataset import LayoutDataset
     from layoutdetr_tpu.metrics import metric_main
-    from layoutdetr_tpu.models.generator import Generator, GeneratorConfig
-    from layoutdetr_tpu.utils.checkpoint import restore_checkpoint
+    from layoutdetr_tpu.models.generator import Generator
+    from layoutdetr_tpu.utils.checkpoint import (load_generator_checkpoint,
+                                                 restore_checkpoint)
     from layoutdetr_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
@@ -54,21 +55,9 @@ def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
     dataset = LayoutDataset(data, background_size=background_size,
                             max_text_length=max_text_length)
     dataset.tokenizer.require_hf_for_checkpoint(ckpt)
-    restored = restore_checkpoint(ckpt)
-    if isinstance(restored, dict) and "params_gema" in restored:
-        params = restored["params_gema"]
-    else:
-        params = restored
-    import json
-    import os
-
-    if os.path.exists(ckpt + ".gcfg.json"):
-        with open(ckpt + ".gcfg.json") as f:
-            gcfg = GeneratorConfig(**json.load(f))
-    else:
-        gcfg = GeneratorConfig(num_bbox_labels=dataset.num_bbox_labels,
-                               background_size=background_size,
-                               max_text_length=max_text_length)
+    params, gcfg = load_generator_checkpoint(
+        ckpt, num_bbox_labels=dataset.num_bbox_labels,
+        background_size=background_size, max_text_length=max_text_length)
     g = Generator(gcfg)
 
     layoutnet_params = restore_checkpoint(layoutnet_ckpt) if layoutnet_ckpt else None

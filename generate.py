@@ -70,7 +70,7 @@ def preprocess_background(bg_path: str, mode: str):
 
 
 @click.command()
-@click.option("--ckpt", "ckpt", required=True, help="Checkpoint directory (orbax)")
+@click.option("--ckpt", "ckpt", required=True, help="Checkpoint: orbax directory or reference snapshot .pkl")
 @click.option("--bg", type=str, required=True, help="Path of a background image")
 @click.option("--bg-preprocessing", type=click.Choice(
     ["256", "128", "blur", "jpeg", "rec", "3x_mask", "edge", "none"]), default="256",
@@ -91,8 +91,8 @@ def generate_images(ckpt, bg, bg_preprocessing, strings, string_labels, outfile,
     import jax
 
     from layoutdetr_tpu.data.tokenizer import LayoutTokenizer
-    from layoutdetr_tpu.models.generator import Generator, GeneratorConfig
-    from layoutdetr_tpu.utils.checkpoint import restore_checkpoint
+    from layoutdetr_tpu.models.generator import Generator
+    from layoutdetr_tpu.utils.checkpoint import load_generator_checkpoint
     from layoutdetr_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
@@ -109,19 +109,8 @@ def generate_images(ckpt, bg, bg_preprocessing, strings, string_labels, outfile,
     labels_padded = np.array(labels + [0] * (MAX_N - n_real), np.int64)
     mask = np.arange(MAX_N) < n_real
 
-    restored = restore_checkpoint(ckpt)
-    # Accept either a full train-state checkpoint (use EMA params) or bare params.
-    if isinstance(restored, dict) and "params_gema" in restored:
-        params = restored["params_gema"]
-    else:
-        params = restored
-    gcfg_dict = None
-    import json as _json
-
-    if os.path.exists(ckpt + ".gcfg.json"):
-        with open(ckpt + ".gcfg.json") as f:
-            gcfg_dict = _json.load(f)
-    gcfg = GeneratorConfig(**gcfg_dict) if gcfg_dict else GeneratorConfig()
+    print(f'Loading networks from "{ckpt}"...')
+    params, gcfg = load_generator_checkpoint(ckpt)
     # The model consumes the training background resolution.
     if background.shape[0] != gcfg.background_size:
         img = PIL.Image.fromarray(

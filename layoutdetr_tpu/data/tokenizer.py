@@ -87,17 +87,23 @@ class LayoutTokenizer:
         import json as _json
 
         sidecar = str(ckpt_path) + ".converted.json"
-        if self.backend == "hash" and os.path.isfile(sidecar):
+        converted = False
+        if str(ckpt_path).endswith(".pkl"):
+            # Reference snapshot pickles always carry HF-trained BERT
+            # weights (networks_detr.py:92 from_pretrained).
+            converted = True
+        elif os.path.isfile(sidecar):
             with open(sidecar) as f:
                 meta = _json.load(f)
-            if meta.get("hf_token_ids", True):
-                raise RuntimeError(
-                    f"checkpoint {ckpt_path} was converted from torch and "
-                    "expects HF WordPiece token ids, but no bert-base-uncased "
-                    "vocab.txt is available (hash-tokenizer fallback active). "
-                    "Point LAYOUTDETR_BERT_VOCAB at a directory containing "
-                    "vocab.txt."
-                )
+            converted = meta.get("hf_token_ids", True)
+        if self.backend == "hash" and converted:
+            raise RuntimeError(
+                f"checkpoint {ckpt_path} was converted from torch and "
+                "expects HF WordPiece token ids, but no bert-base-uncased "
+                "vocab.txt is available (hash-tokenizer fallback active). "
+                "Point LAYOUTDETR_BERT_VOCAB at a directory containing "
+                "vocab.txt."
+            )
 
     def _encode_one(self, text: str) -> List[int]:
         if self._hf is not None:

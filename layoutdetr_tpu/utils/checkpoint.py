@@ -36,6 +36,59 @@ def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     return _checkpointer().restore(path, item=target)
 
 
+def load_generator_checkpoint(ckpt: str, **gcfg_defaults):
+    """Resolve a ``--ckpt`` argument into ``(params, GeneratorConfig)``.
+
+    Accepts every checkpoint format the CLIs advertise:
+
+    - a reference snapshot ``*.pkl`` (the reference CLI's own format,
+      reference generate.py:212,248-249): G_ema is extracted with the
+      restricted unpickler (no pickle code execution), converted to a
+      flax pytree, and the architecture recovered from weight shapes;
+    - an orbax train-state directory (``params_gema`` preferred) or a
+      bare-params directory, with the ``<ckpt>.gcfg.json`` sidecar when
+      present.
+
+    ``gcfg_defaults`` seed the GeneratorConfig for sidecar-less orbax
+    checkpoints (e.g. dataset-derived num_bbox_labels); explicit
+    sidecar/inferred values win.
+    """
+    import json
+
+    from layoutdetr_tpu.models.generator import GeneratorConfig
+
+    if str(ckpt).endswith(".pkl"):
+        from layoutdetr_tpu.utils.legacy_pkl import (
+            infer_generator_config, load_network_pkl)
+        from layoutdetr_tpu.utils.torch_convert import convert_generator
+
+        nets = load_network_pkl(ckpt)
+        entry = nets.get("G_ema") or nets.get("G")
+        if entry is None:
+            raise ValueError(f"{ckpt} contains no G_ema/G module")
+        inferred = dict(gcfg_defaults)
+        inferred.update(infer_generator_config(entry["state_dict"]))
+        gcfg = GeneratorConfig(**inferred)
+        params = {"params": convert_generator(
+            entry["state_dict"],
+            bert_encoder_layers=gcfg.bert_num_encoder_layers,
+            bert_decoder_layers=gcfg.bert_num_decoder_layers,
+            vocab_size=gcfg.vocab_size)}
+        return params, gcfg
+
+    restored = restore_checkpoint(ckpt)
+    # Full train-state checkpoints carry EMA params; bare params pass through.
+    if isinstance(restored, dict) and "params_gema" in restored:
+        params = restored["params_gema"]
+    else:
+        params = restored
+    kwargs = dict(gcfg_defaults)
+    if os.path.exists(ckpt + ".gcfg.json"):
+        with open(ckpt + ".gcfg.json") as f:
+            kwargs.update(json.load(f))
+    return params, GeneratorConfig(**kwargs)
+
+
 def graft(params: Any, pretrained: Any, path: str = "") -> Any:
     """Overlay ``pretrained`` onto ``params``, keeping init values for
     anything the pretrained tree lacks — the pytree analogue of the

@@ -286,3 +286,51 @@ def infer_bert_layers(sd: Dict[str, np.ndarray]) -> Dict[str, int]:
             break
     return {"bert_encoder_layers": enc, "bert_decoder_layers": dec,
             "vocab_size": vocab}
+
+
+def infer_generator_config(sd: Dict[str, np.ndarray]) -> Dict[str, int]:
+    """GeneratorConfig kwargs recoverable from a reference Generator
+    state dict's shapes (networks_detr.py:66-131 layout).
+
+    Not inferable from weights (caller keeps defaults / CLI overrides):
+    ``bert_num_heads`` (reference train.py CLI default 4),
+    ``background_size`` (runtime input resolution only), and the DETR
+    transformer dims (hardcoded 6+6 / nhead 8 / ffn 2048 in the
+    reference, networks_detr.py:99-108 — already our defaults).
+    """
+    out: Dict[str, int] = {}
+    layers = infer_bert_layers(sd)
+    if layers["bert_encoder_layers"]:
+        out["bert_num_encoder_layers"] = layers["bert_encoder_layers"]
+    if layers["bert_decoder_layers"]:
+        out["bert_num_decoder_layers"] = layers["bert_decoder_layers"]
+    if layers["vocab_size"]:
+        out["vocab_size"] = layers["vocab_size"]
+        out["bos_token_id"] = layers["vocab_size"] - 2  # resize adds [DEC],[ENC]
+
+    def shape(k):
+        t = sd.get(k)
+        return tuple(t.shape) if t is not None else None
+
+    s = shape("fc_z.weight")            # (bert_f_dim, z_dim*9)
+    if s:
+        out["bert_f_dim"], out["z_dim"] = s[0], s[1] // 9
+    s = shape("emb_label.weight")       # (num_bbox_labels, bert_f_dim)
+    if s:
+        out["num_bbox_labels"] = s[0]
+    s = shape("enc_text_len.weight")    # (max_text_length, bert_f_dim)
+    if s:
+        out["max_text_length"] = s[0]
+    s = shape("fc_text_len_rec.weight")  # (max_text_length, hidden_dim)
+    if s:
+        out["hidden_dim"] = s[1]
+    s = shape("text_encoder.embeddings.position_embeddings.weight")
+    if s:
+        out["bert_max_position_embeddings"] = s[0]
+    s = shape("text_encoder.encoder.layer.0.intermediate.dense.weight")
+    if s:
+        out["bert_intermediate_size"] = s[0]
+    s = shape("text_decoder.bert.encoder.layer.0.crossattention.self.key.weight")
+    if s:                               # (bert_f_dim, im_f_dim=encoder_width)
+        out["im_f_dim"] = s[1]
+    return out

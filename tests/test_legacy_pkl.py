@@ -133,3 +133,50 @@ def test_unknown_globals_never_execute():
     assert isinstance(data["G"], _Stub)
     assert type(data["G"])._stub_origin[1] == "system"
     assert not os.path.exists("/tmp/legacy_pkl_pwned")
+
+
+def test_infer_generator_config_and_direct_pkl_load(monkeypatch, tmp_path):
+    """`--ckpt snapshot.pkl` one-step load (checkpoint.load_generator_checkpoint):
+    architecture recovered from the reference state-dict shapes, params
+    identical to an explicit convert_generator run."""
+    from layoutdetr_tpu.utils.checkpoint import load_generator_checkpoint
+    from layoutdetr_tpu.utils.legacy_pkl import infer_generator_config
+    from layoutdetr_tpu.utils.torch_convert import convert_generator
+
+    g, _ = _build_reference_pair(monkeypatch, tmp_path)
+    sd = {k: v.detach().numpy() for k, v in g.state_dict().items()}
+
+    inferred = infer_generator_config(sd)
+    assert inferred["bert_f_dim"] == BERT_F
+    assert inferred["z_dim"] == 4
+    assert inferred["num_bbox_labels"] == 8
+    assert inferred["max_text_length"] == T
+    assert inferred["hidden_dim"] == HID
+    assert inferred["im_f_dim"] == IM_F
+    assert inferred["vocab_size"] == VOCAB
+    assert inferred["bos_token_id"] == VOCAB - 2
+    assert inferred["bert_num_encoder_layers"] == 2
+    assert inferred["bert_num_decoder_layers"] == 2
+
+    path = tmp_path / "snapshot.pkl"
+    path.write_bytes(pickle.dumps(dict(G=None, G_ema=g, D=None)))
+    params, gcfg = load_generator_checkpoint(str(path))
+    assert gcfg.bert_f_dim == BERT_F and gcfg.vocab_size == VOCAB
+    want = {"params": convert_generator(sd, bert_encoder_layers=2,
+                                        bert_decoder_layers=2, vocab_size=VOCAB)}
+    import jax
+
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tokenizer_guard_rejects_pkl_under_hash_fallback(tmp_path):
+    """Snapshot pkls always embed HF-trained BERT weights; pairing them
+    with the offline hash tokenizer must fail loudly (tokenizer.py guard)."""
+    from layoutdetr_tpu.data.tokenizer import LayoutTokenizer
+
+    tok = LayoutTokenizer(max_length=16, vocab_dir=str(tmp_path / "novocab"))
+    if tok.backend != "hash":
+        pytest.skip("HF vocab present; guard not reachable")
+    with pytest.raises(RuntimeError, match="WordPiece"):
+        tok.require_hf_for_checkpoint("whatever/snapshot.pkl")
