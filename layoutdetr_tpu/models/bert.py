@@ -60,6 +60,12 @@ class BertConfig:
     # the kernel through the TPU interpreter (CPU tests).
     flash_attention: bool = False
     flash_interpret: bool = False
+    # Rematerialize each BertLayer under autodiff (jax.checkpoint):
+    # layer-internal activations (attention scores, FFN intermediates —
+    # the dominant HLO temps at T=256, B*9 sequences) are recomputed in
+    # the backward pass instead of living in HBM. Numerically identical;
+    # trades ~1 extra forward of FLOPs for O(layers) less live memory.
+    remat: bool = False
 
 
 class BertSelfAttention(nn.Module):
@@ -215,13 +221,14 @@ class BertModel(nn.Module):
         enc_bias = None
         if encoder_attention_mask is not None:
             enc_bias = (1.0 - encoder_attention_mask.astype(jnp.float32)[:, None, None, :]) * NEG_MASK
+        # nn.remat static_argnums count the module instance as arg 0;
+        # use_cross (5) and deterministic (6) are Python bools.
+        layer_cls = (nn.remat(BertLayer, static_argnums=(5, 6))
+                     if cfg.remat else BertLayer)
         for i in range(cfg.num_hidden_layers):
-            x = BertLayer(cfg, has_cross=cfg.add_cross_attention, dtype=self.dtype, name=f"layer_{i}")(
-                x, attn_bias,
-                encoder_hidden=encoder_hidden_states,
-                encoder_bias=enc_bias,
-                use_cross=(mode == "multimodal"),
-                deterministic=deterministic,
+            x = layer_cls(cfg, has_cross=cfg.add_cross_attention, dtype=self.dtype, name=f"layer_{i}")(
+                x, attn_bias, encoder_hidden_states, enc_bias,
+                mode == "multimodal", deterministic,
             )
         return x
 

@@ -55,6 +55,9 @@ class GeneratorConfig:
     # BERT FFN width (med_config.json intermediate_size; 3072 at width 768).
     bert_intermediate_size: int = 3072
     bert_max_position_embeddings: int = 512
+    # Rematerialize BERT layers under autodiff (see BertConfig.remat):
+    # makes the fp32 full-dims step fit batch 16 on a single chip.
+    remat: bool = False
 
     def encoder_bert_config(self):
         # hidden_size follows bert_f_dim: the reference requires the text
@@ -68,6 +71,7 @@ class GeneratorConfig:
             num_hidden_layers=self.bert_num_encoder_layers,
             num_attention_heads=self.bert_num_heads,
             encoder_width=self.bert_f_dim,
+            remat=self.remat,
         )
 
     def decoder_bert_config(self):
@@ -79,6 +83,7 @@ class GeneratorConfig:
             num_hidden_layers=self.bert_num_decoder_layers,
             num_attention_heads=self.bert_num_heads,
             encoder_width=self.im_f_dim,
+            remat=self.remat,
         )
 
 

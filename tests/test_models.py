@@ -125,3 +125,46 @@ def test_layoutnet_features():
     assert logit_disc.shape == (2,)
     assert logit_cls.shape == (2, 4, 13)
     assert bbox_pred.shape == (2, 4, 4)
+
+
+def test_bert_remat_identical_outputs_and_grads():
+    """cfg.remat wraps each BertLayer in jax.checkpoint — pure
+    recompute-in-backward, so outputs AND grads must be bitwise-stable
+    vs the unrematerialized stack (it only changes peak memory)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from layoutdetr_tpu.models.bert import BertConfig, BertLMHeadModel
+
+    kw = dict(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+              num_attention_heads=2, intermediate_size=48,
+              max_position_embeddings=16, encoder_width=24)
+    cfg_a = BertConfig(**kw)
+    cfg_b = BertConfig(remat=True, **kw)
+
+    ids = np.random.RandomState(0).randint(0, 64, (3, 10))
+    am = np.ones((3, 10), np.int32)
+    labels = np.where(np.arange(10)[None] < 7, ids, -100)
+    enc = np.random.RandomState(1).randn(3, 5, 24).astype(np.float32)
+    enc_mask = np.ones((3, 5), np.int32)
+
+    model_a = BertLMHeadModel(cfg_a)
+    model_b = BertLMHeadModel(cfg_b)
+    params = model_a.init(jax.random.PRNGKey(0), ids, am, labels=labels,
+                          encoder_hidden_states=enc,
+                          encoder_attention_mask=enc_mask, mode="multimodal")
+
+    def loss(m):
+        def f(p):
+            _, l = m.apply(p, ids, am, labels=labels,
+                           encoder_hidden_states=enc,
+                           encoder_attention_mask=enc_mask, mode="multimodal")
+            return l
+        return f
+
+    la, ga = jax.value_and_grad(loss(model_a))(params)
+    lb, gb = jax.value_and_grad(loss(model_b))(params)
+    assert np.allclose(la, lb, rtol=0, atol=0)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

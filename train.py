@@ -98,6 +98,12 @@ def parse_comma_separated_list(s):
 @click.option("--seed", type=click.IntRange(min=0), default=0, show_default=True)
 @click.option("--bf16/--fp32", "use_bf16", default=False, show_default=True,
               help="bf16 activations on the MXU (params stay fp32)")
+@click.option("--remat/--no-remat", "remat", default=None,
+              help="Rematerialize BERT layers in the backward pass "
+                   "(jax.checkpoint): numerically identical, ~one extra "
+                   "forward of FLOPs, O(layers) less peak HBM. Default: "
+                   "on for fp32 (full-dims batch 16 does not fit a "
+                   "single chip without it), off for bf16.")
 @click.option("--chips", type=click.IntRange(min=1), default=None, help="Limit device count")
 @click.option("--model-parallel", type=click.IntRange(min=1), default=1, show_default=True,
               help="Tensor-parallel degree: folds devices into a (data, model) "
@@ -161,6 +167,7 @@ def main(**opts):
         background_size=opts.background_size,
         max_text_length=opts.max_text_length,
         backbone=opts.backbone,
+        remat=(not opts.use_bf16) if opts.remat is None else opts.remat,
     )
     # Derived weight arithmetic (reference train.py:262-275).
     weights = LossWeights(
