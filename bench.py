@@ -97,6 +97,7 @@ def main():
         D_FROZEN_SUBSTRINGS,
         G_FROZEN_SUBSTRINGS,
         build_optimizer,
+        freeze_mask,
     )
     from layoutdetr_tpu.training.train_step import GANTrainState, make_train_step
 
@@ -155,7 +156,8 @@ def main():
         make_train_step(g.apply, d.apply, tx_g, tx_d, batch_size=b,
                         z_dim=gcfg.z_dim, max_elements=gcfg.max_elements,
                         text_feature_fn=make_text_feature_fn(gcfg, dtype),
-                        share_text_encoder=True),
+                        share_text_encoder=True,
+                        ema_freeze_labels=freeze_mask(params_g, G_FROZEN_SUBSTRINGS)),
         donate_argnums=(0,),
     )
 

@@ -38,6 +38,7 @@ from layoutdetr_tpu.training.optimizers import (
     D_FROZEN_SUBSTRINGS,
     G_FROZEN_SUBSTRINGS,
     build_optimizer,
+    freeze_mask,
 )
 from layoutdetr_tpu.training.train_step import (
     GANTrainState,
@@ -314,6 +315,8 @@ def training_loop(
                 flash=(jax.default_backend() == "tpu"), mesh=mesh),
             share_text_encoder=share_te,
             aug_cfg=aug_cfg,
+            # Skip the EMA HBM sweep over frozen subtrees (identity there).
+            ema_freeze_labels=freeze_mask(params_g, G_FROZEN_SUBSTRINGS),
         ),
         donate_argnums=(0,),
         compiler_options=copts,

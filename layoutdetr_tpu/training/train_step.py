@@ -130,6 +130,7 @@ def make_train_step(
     text_feature_fn: Optional[Callable] = None,
     share_text_encoder: bool = False,
     aug_cfg: Any = None,
+    ema_freeze_labels: Any = None,
 ):
     """Returns step(state, batch, rng) -> (state, stats): Gmain+Dmain+EMA.
 
@@ -146,6 +147,15 @@ def make_train_step(
     only semantic difference is that encoder dropout is drawn once per
     step instead of per phase — the encoders are frozen, so this affects
     no gradients.
+
+    ``ema_freeze_labels`` (optimizers.freeze_mask over params_g) skips
+    the EMA lerp on frozen subtrees. For frozen leaves the lerp is the
+    identity — the optimizer masks their updates, so ``p`` never moves
+    and ``e`` started equal to ``p`` — but XLA cannot know that and
+    sweeps them through HBM every step (the ~110M-param frozen BERT at
+    fp32 is ~1.3 GB/step of read+write). Passing the donated ``e``
+    buffer through unchanged makes the no-op free. Profiled as part of
+    the leading Adam/EMA HBM-sweep cost (docs/BENCH_NOTES.md).
     """
     if ema_kimg is None:
         ema_kimg = batch_size * 10 / 32  # train.py:249
@@ -210,9 +220,15 @@ def make_train_step(
         # --- EMA (training_loop.py:320-328) ---
         cur_nimg = (state.step.astype(jnp.float32) + 1.0) * batch_size
         beta = ema_beta(batch_size, ema_kimg, cur_nimg, ema_rampup)
-        params_gema = jax.tree.map(
-            lambda e, p: p + (e - p) * beta, state.params_gema, params_g
-        )
+        if ema_freeze_labels is not None:
+            params_gema = jax.tree.map(
+                lambda lbl, e, p: e if lbl == "freeze" else p + (e - p) * beta,
+                ema_freeze_labels, state.params_gema, params_g,
+            )
+        else:
+            params_gema = jax.tree.map(
+                lambda e, p: p + (e - p) * beta, state.params_gema, params_g
+            )
 
         new_state = state.replace(
             params_g=params_g, params_d=params_d, params_gema=params_gema,

@@ -69,6 +69,46 @@ def test_train_step_updates_params_and_freezes():
     assert max(diffs) >= 0  # EMA tree structurally aligned
 
 
+def test_ema_freeze_labels_is_pure_noop():
+    """ema_freeze_labels skips the EMA lerp on frozen subtrees — an HBM
+    optimization only: frozen params never move (optimizer mask), so the
+    lerp is the identity there. Same seed with and without the labels
+    must produce bitwise-identical states."""
+    from layoutdetr_tpu.training.optimizers import (G_FROZEN_SUBSTRINGS,
+                                                    freeze_mask)
+    from layoutdetr_tpu.training.train_step import make_train_step
+
+    g, d, tx_g, tx_d, state0, b = _models_and_state()
+    batch = dict(
+        bboxes=b["bbox_real"], labels=b["bbox_class"], text_ids=b["text_ids"],
+        text_mask=b["text_mask"], text_len=b["text_len"],
+        mask=~np.asarray(b["padding_mask"]), background=b["background"],
+    )
+    common = dict(batch_size=2, z_dim=TINY.z_dim, max_elements=TINY.max_elements)
+    labels = freeze_mask(state0.params_g, G_FROZEN_SUBSTRINGS)
+    step_skip = jax.jit(make_train_step(g.apply, d.apply, tx_g, tx_d,
+                                        ema_freeze_labels=labels, **common))
+    step_full = jax.jit(make_train_step(g.apply, d.apply, tx_g, tx_d, **common))
+
+    s_skip = s_full = state0
+    for i in range(2):
+        s_skip, _ = step_skip(s_skip, batch, jax.random.PRNGKey(7 + i))
+        s_full, _ = step_full(s_full, batch, jax.random.PRNGKey(7 + i))
+    for a, c in zip(jax.tree.leaves(s_skip.params_gema),
+                    jax.tree.leaves(s_full.params_gema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    # Frozen EMA leaves still carry the (unchanged) frozen weights.
+    flat0 = jax.tree_util.tree_flatten_with_path(state0.params_gema)[0]
+    flat1 = dict(jax.tree_util.tree_flatten_with_path(s_skip.params_gema)[0])
+    n_frozen = 0
+    for path, old in flat0:
+        pstr = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "text_encoder" in pstr:
+            np.testing.assert_array_equal(np.asarray(old), np.asarray(flat1[path]))
+            n_frozen += 1
+    assert n_frozen > 0
+
+
 def test_grad_accum_matches_deterministic_terms():
     """grad_accum=2 runs and produces finite stats; the data-dependent
     deterministic loss terms (e.g. Dreal on real boxes) match the

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Summarize a training run's stability from its committed artifacts.
+
+Reads ``<run_dir>/stats.jsonl`` (per-tick training_stats, utils/stats.py)
+and any ``<run_dir>/metric-*.jsonl`` (metric_main dispatcher output) and
+prints, per loss/metric: first / 25% / mid / 75% / last values, the
+overall trend, and NaN/Inf counts — the evidence the reference surfaces
+as TensorBoard curves over its 25,000-kimg runs
+(reference training/training_loop.py:404-435).
+
+Usage:  python tools/stability_report.py runs_stability/00002--batch16
+        [--markdown]   # emit a Markdown table for docs
+"""
+import argparse
+import glob
+import json
+import math
+import os
+import sys
+
+
+def _load_jsonl(path):
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return rows
+
+
+def _series(rows):
+    """{key: [(kimg, mean)]} for every Loss/* and Progress scalar."""
+    out = {}
+    for r in rows:
+        kimg = r.get("kimg", 0.0)
+        for k, v in r.items():
+            if isinstance(v, dict) and "mean" in v:
+                out.setdefault(k, []).append((kimg, float(v["mean"])))
+    return out
+
+
+def _fmt(x):
+    if x is None or (isinstance(x, float) and math.isnan(x)):
+        return "nan"
+    return f"{x:.4g}"
+
+
+def report(run_dir, markdown=False):
+    stats_path = os.path.join(run_dir, "stats.jsonl")
+    if not os.path.isfile(stats_path):
+        sys.exit(f"no stats.jsonl under {run_dir}")
+    rows = _load_jsonl(stats_path)
+    series = _series(rows)
+    n_ticks = len(rows)
+    kimg_last = rows[-1].get("kimg", 0.0) if rows else 0.0
+
+    sec_per_kimg = [r["sec_per_kimg"] for r in rows[1:] if "sec_per_kimg" in r]
+    print(f"run: {run_dir}")
+    print(f"ticks: {n_ticks}   kimg: {kimg_last:.1f}")
+    if sec_per_kimg:
+        s = sorted(sec_per_kimg)
+        print(f"sec/kimg (post-compile): median {s[len(s)//2]:.1f}  "
+              f"min {s[0]:.1f}  max {s[-1]:.1f}")
+
+    bad = 0
+    for k, pts in series.items():
+        bad += sum(1 for _, v in pts if not math.isfinite(v))
+    print(f"non-finite loss values: {bad}")
+
+    sep = "|" if markdown else "  "
+    hdr = ["loss", "first", "q25", "mid", "q75", "last", "trend"]
+    if markdown:
+        print("| " + " | ".join(hdr) + " |")
+        print("|" + "---|" * len(hdr))
+    else:
+        print(f"{hdr[0]:<42}" + "".join(f"{h:>10}" for h in hdr[1:]))
+    for k in sorted(series):
+        if not k.startswith("Loss/"):
+            continue
+        vals = [v for _, v in series[k]]
+        if len(vals) < 2:
+            continue
+        q = lambda f: vals[min(len(vals) - 1, int(f * (len(vals) - 1)))]
+        first, last = vals[0], vals[-1]
+        # Trend over the second half (ignores the noisy warmup).
+        half = vals[len(vals) // 2:]
+        drift = (half[-1] - half[0]) / (abs(half[0]) + 1e-8)
+        trend = ("down" if last < first * 0.95 else
+                 "up" if last > first * 1.05 else "flat")
+        cells = [k, _fmt(first), _fmt(q(0.25)), _fmt(q(0.5)), _fmt(q(0.75)),
+                 _fmt(last), f"{trend} ({drift:+.0%} 2nd half)"]
+        if markdown:
+            print("| " + " | ".join(cells) + " |")
+        else:
+            print(f"{cells[0]:<42}" + "".join(f"{c:>10}" for c in cells[1:6])
+                  + f"  {cells[6]}")
+
+    for mpath in sorted(glob.glob(os.path.join(run_dir, "metric-*.jsonl"))):
+        name = os.path.basename(mpath)[len("metric-"):-len(".jsonl")]
+        mrows = _load_jsonl(mpath)
+        pts = []
+        for r in mrows:
+            res = r.get("results", r)
+            kimg = r.get("snapshot_kimg", r.get("kimg"))
+            if kimg is None and r.get("snapshot_path"):
+                digits = "".join(c for c in os.path.basename(
+                    str(r["snapshot_path"])) if c.isdigit())
+                kimg = int(digits) if digits else None
+            for rk, rv in (res.items() if isinstance(res, dict) else []):
+                if isinstance(rv, (int, float)):
+                    pts.append((rk, kimg, float(rv)))
+        if pts:
+            print(f"\nmetric {name}:")
+            keys = sorted({p[0] for p in pts})
+            for rk in keys:
+                seq = [(k2, v) for (r2, k2, v) in pts if r2 == rk]
+                traj = "  ".join(f"{_fmt(v)}" for _, v in seq)
+                print(f"  {rk:<32} {traj}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dir")
+    ap.add_argument("--markdown", action="store_true")
+    a = ap.parse_args()
+    report(a.run_dir, markdown=a.markdown)
