@@ -141,7 +141,13 @@ def make_text_feature_fn(cfg: "GeneratorConfig", dtype=jnp.float32,
 
     bert_cfg = cfg.encoder_bert_config()
     if flash is None:
-        flash = jax.default_backend() == "tpu"
+        # Default on for TPU, but only when partitioning is accounted
+        # for: with no mesh given a caller may still jit over a
+        # multi-device mesh, where an unwrapped Mosaic pallas_call
+        # cannot be auto-partitioned by GSPMD — require single-device
+        # in that case (pass mesh= to get the shard_map wrapper).
+        flash = jax.default_backend() == "tpu" and (
+            mesh is not None or len(jax.devices()) == 1)
     tp = (mesh is not None and "model" in mesh.axis_names
           and mesh.shape["model"] > 1)
     if tp:

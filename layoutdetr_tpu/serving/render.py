@@ -226,15 +226,19 @@ def rerender_html_pil(html: str, html_dir: str) -> PIL.Image.Image:
     """
     import re
 
-    m = re.search(r'<img src="([^"]+)"', html)
+    m = re.search(r'<img src=(["\'])([^"\']+)\1', html)
     if not m:
         raise ValueError("no base <img> in banner HTML")
-    img = PIL.Image.open(os.path.join(html_dir, m.group(1))).convert("RGB")
+    img = PIL.Image.open(os.path.join(html_dir, m.group(2))).convert("RGB")
     draw = PIL.ImageDraw.Draw(img, "RGBA")
 
-    for dm in re.finditer(r'<div style="([^>]*position:absolute[^>]*)">([^<]*)</div>',
-                          html):
-        style, text = dm.group(1), dm.group(2)
+    # compose_banner_html emits single-quoted style attrs (they embed
+    # the reference's id="..." double-quote quirk); hand-authored or
+    # browser-edited HTML is typically double-quoted — accept both.
+    for dm in re.finditer(r"<div style=(['\"])(.*?)\1>([^<]*)</div>", html):
+        style, text = dm.group(2), dm.group(3)
+        if "position:absolute" not in style:
+            continue
         if not text.strip():
             continue
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import sys
 import time
 from typing import Callable, Optional
 
@@ -96,7 +97,9 @@ def _cpu_mem_gb() -> float:
     try:
         import resource
 
-        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        # ru_maxrss is kilobytes on Linux but bytes on macOS (BSD).
+        return rss / (2**30 if sys.platform == "darwin" else 2**20)
     except Exception:
         return 0.0
 

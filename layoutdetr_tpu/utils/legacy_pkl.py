@@ -99,6 +99,83 @@ def _reconstruct_persistent_stub(meta: dict) -> _Stub:
     return obj
 
 
+def _safe_load_storage_from_bytes(b: bytes):
+    """Drop-in for ``torch.storage._load_from_bytes`` that never runs an
+    unrestricted unpickle.
+
+    torch's own ``_load_from_bytes`` calls ``torch.load(...,
+    weights_only=False)`` on attacker-controlled bytes — allowlisting it
+    would let a crafted pkl smuggle arbitrary callables inside the
+    nested blob. The blob format is torch's *legacy* serialization
+    (``__reduce_ex__`` always saves storages with
+    ``_use_new_zipfile_serialization=False``): four pickles (magic,
+    protocol, sys_info, the storage persistent-id) followed by the key
+    list and ``<int64 numel><raw data>`` per key. Parse that directly,
+    resolving only ``torch.*Storage`` classes."""
+    import struct
+
+    import torch
+
+    f = io.BytesIO(b)
+
+    class _StorageOnlyUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module in ("torch", "torch.storage") and (
+                    name.endswith("Storage")):
+                attr = getattr(torch, name, None) or getattr(
+                    torch.storage, name, None)
+                if attr is not None:
+                    return attr
+            raise pickle.UnpicklingError(
+                f"storage blob references non-storage global {module}.{name}")
+
+        def persistent_load(self, pid):
+            return pid
+
+    def _read_pickle():
+        return _StorageOnlyUnpickler(f).load()
+
+    magic = _read_pickle()
+    if magic != 0x1950A86A20F9469CFC6C:  # torch legacy magic number
+        raise pickle.UnpicklingError("not a torch legacy storage blob")
+    _read_pickle()  # protocol version
+    sys_info = _read_pickle()
+    if not sys_info.get("little_endian", True):
+        raise pickle.UnpicklingError("big-endian storage blobs unsupported")
+    pid = _read_pickle()
+    if not (isinstance(pid, tuple) and len(pid) >= 5 and pid[0] == "storage"):
+        raise pickle.UnpicklingError("unexpected storage persistent id")
+    storage_type, numel = pid[1], pid[4]
+    keys = _read_pickle()
+    if not (isinstance(keys, list) and len(keys) == 1):
+        raise pickle.UnpicklingError("expected exactly one storage key")
+    (n_elems,) = struct.unpack("<q", f.read(8))
+    if storage_type is torch.UntypedStorage:
+        dtype, itemsize = torch.uint8, 1
+    else:
+        import warnings
+
+        with warnings.catch_warnings():
+            # legacy typed classes (FloatStorage, ...) warn on access
+            warnings.simplefilter("ignore")
+            dtype = storage_type.dtype
+        itemsize = torch.empty((), dtype=dtype).element_size()
+    if n_elems != numel:
+        raise pickle.UnpicklingError("storage length mismatch")
+    raw = f.read(n_elems * itemsize)
+    if len(raw) != n_elems * itemsize:
+        raise pickle.UnpicklingError("truncated storage data")
+    flat = torch.frombuffer(bytearray(raw), dtype=dtype).clone()
+    if storage_type is torch.UntypedStorage:
+        return flat.untyped_storage()
+    try:
+        return torch.storage.TypedStorage(
+            wrap_storage=flat.untyped_storage(), dtype=dtype, _internal=True)
+    except TypeError:  # older signature without _internal
+        return torch.storage.TypedStorage(
+            wrap_storage=flat.untyped_storage(), dtype=dtype)
+
+
 def _torch_allowed(module: str, name: str):
     """Real callables needed to rebuild torch tensors from a plain
     pickle, and nothing else executable."""
@@ -107,7 +184,7 @@ def _torch_allowed(module: str, name: str):
     if module == "torch._utils" and name.startswith("_rebuild_"):
         return getattr(torch._utils, name)
     if module == "torch.storage" and name == "_load_from_bytes":
-        return torch.storage._load_from_bytes
+        return _safe_load_storage_from_bytes
     if module == "torch.serialization" and name == "_get_layout":
         return torch.serialization._get_layout
     if module == "torch":

@@ -180,3 +180,51 @@ def test_tokenizer_guard_rejects_pkl_under_hash_fallback(tmp_path):
         pytest.skip("HF vocab present; guard not reachable")
     with pytest.raises(RuntimeError, match="WordPiece"):
         tok.require_hf_for_checkpoint("whatever/snapshot.pkl")
+
+
+def test_nested_storage_blob_never_executes():
+    """``torch.storage._load_from_bytes`` internally runs
+    ``torch.load(weights_only=False)`` — a hostile pkl can nest an
+    arbitrary-code pickle inside the storage blob where
+    test_unknown_globals_never_execute can't see it. The reader must
+    parse the blob itself and reject non-storage globals."""
+    import io
+    import os
+
+    from layoutdetr_tpu.utils.legacy_pkl import SafeUnpickler
+
+    class EvilStorage:
+        def __reduce__(self):
+            import torch.storage
+
+            inner = pickle.dumps((os.system, ("touch /tmp/legacy_blob_pwned",)))
+            return (torch.storage._load_from_bytes, (inner,))
+
+    import torch.storage  # noqa: F401  (resolve the module for __reduce__)
+
+    blob = pickle.dumps({"G": EvilStorage()})
+    with pytest.raises(pickle.UnpicklingError):
+        SafeUnpickler(io.BytesIO(blob)).load()
+    assert not os.path.exists("/tmp/legacy_blob_pwned")
+
+
+def test_safe_storage_blob_roundtrip():
+    """Tensors plain-pickled the way the reference snapshots them
+    (typed *and* untyped storage reduces) reconstruct exactly through
+    the restricted storage-blob parser."""
+    import io
+
+    import torch
+
+    from layoutdetr_tpu.utils.legacy_pkl import SafeUnpickler
+
+    t = torch.arange(12, dtype=torch.float32).reshape(3, 4) * 0.5
+    out = SafeUnpickler(io.BytesIO(pickle.dumps({"w": t}))).load()["w"]
+    np.testing.assert_array_equal(out.numpy(), t.numpy())
+
+    st = t.untyped_storage()
+    fn, args = st.__reduce_ex__(2)[:2]
+    from layoutdetr_tpu.utils.legacy_pkl import _safe_load_storage_from_bytes
+
+    rebuilt = _safe_load_storage_from_bytes(args[0])
+    assert bytes(rebuilt) == bytes(st)

@@ -243,3 +243,32 @@ def test_api_handlers_upload_update_save(tmp_path, monkeypatch):
     assert arr.shape[:2] == (100, 200)
     # The white button pill must have been drawn over the blue bg.
     assert (arr[60:80, 50:130] > 200).all(axis=-1).any()
+
+
+def test_rerender_pil_parses_own_compose_output(tmp_path):
+    """rerender_html_pil must understand compose_banner_html's own
+    serialization (single-quoted style attrs embedding the reference's
+    id="..." quirk) — a Chrome-less /update on a banner produced by
+    this codebase has to re-draw the text, not just the background."""
+    from layoutdetr_tpu.serving.render import compose_banner_html, rerender_html_pil
+
+    bbox, mask = sample_layout()
+    bg = PIL.Image.new("RGB", (128, 96), (30, 30, 30))
+    bg.save(tmp_path / "bg.png")
+    styles = [
+        {"type": "header", "text": "Big Sale",
+         "style": {"fontFamily": "Arial", "color": "rgba(255, 255, 255, 255)"}},
+        {"type": "button", "text": "Shop Now",
+         "style": {"fontFamily": "Arial", "color": "rgba(0, 0, 0, 255)"},
+         "buttonParams": {"backgroundColor": "rgba(250, 250, 250, 255)",
+                          "radius": 0.5}},
+        {"type": "body text", "text": "Fresh deals",
+         "style": {"fontFamily": "Arial", "color": "rgba(200, 200, 200, 255)"}},
+    ]
+    html = compose_banner_html(bbox[0], mask[0], styles, True, bg, "bg.png")
+    img = np.array(rerender_html_pil(html, str(tmp_path)))
+    assert img.shape[:2] == (96, 128)
+    # text + pill actually drawn (not just the dark background copied)
+    assert (img != 30).any()
+    changed = (img != 30).any(axis=-1).mean()
+    assert changed > 0.01, f"only {changed:.3%} of pixels changed"
