@@ -24,6 +24,19 @@ def parse_comma_separated_list(s):
     return s.split(",")
 
 
+def _enable_stack_dumps():
+    """`kill -USR1 <pid>` prints every thread's Python stack to stderr
+    (long metric passes on a tunneled backend are otherwise opaque)."""
+    import faulthandler
+    import signal
+
+    faulthandler.enable()
+    try:
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (AttributeError, ValueError):
+        pass
+
+
 @click.command()
 @click.option("--ckpt", required=True, help="Checkpoint: orbax directory or reference snapshot .pkl")
 @click.option("--data", required=True, help="Validation zip")
@@ -43,6 +56,7 @@ def parse_comma_separated_list(s):
 @click.option("--run-dir", type=str, default=".", show_default=True)
 def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
          max_items, layoutnet_ckpt, inception_ckpt, seed, run_dir):
+    _enable_stack_dumps()
     from layoutdetr_tpu.data.dataset import LayoutDataset
     from layoutdetr_tpu.metrics import metric_main
     from layoutdetr_tpu.models.generator import Generator
@@ -62,13 +76,19 @@ def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
 
     layoutnet_params = restore_checkpoint(layoutnet_ckpt) if layoutnet_ckpt else None
 
+    # One jitted apply shared by every metric (tracing the full
+    # generator takes minutes on a small host — do it once).
+    import jax
+
+    g_apply = jax.jit(g.apply)
+
     for metric in metrics:
         if not metric_main.is_valid_metric(metric):
             raise click.ClickException(
                 f"unknown metric {metric}; valid: {metric_main.list_valid_metrics()}")
         result = metric_main.calc_metric(
             metric,
-            g_apply=g.apply, params=params, dataset=dataset, gcfg=gcfg,
+            g_apply=g_apply, params=params, dataset=dataset, gcfg=gcfg,
             layoutnet_params=layoutnet_params, inception_params=inception_ckpt or None,
             batch=batch_size, seed=seed, max_items=max_items,
         )

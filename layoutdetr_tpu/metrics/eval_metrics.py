@@ -11,10 +11,10 @@ completeness.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import scipy.optimize
-
-import jax.numpy as jnp
 
 from layoutdetr_tpu.metrics.layout_metrics import (
     compute_alignment,
@@ -31,17 +31,26 @@ def compute_layout_eval_suite(opts, max_items: int = 50000):
     n = min(len(dataset), max_items)
     indices = list(range(n))
 
+    # All layout math runs HOST-SIDE in numpy (xp=np): per-item eager
+    # device ops would pay one dispatch round-trip each — thousands of
+    # them through a tunneled TPU backend turned this loop into hours.
     overlaps, alignments, ious, docsims = [], [], [], []
+    t0, done = time.time(), 0
     for bbox_fake, b in generate_layouts(opts, indices, batch=opts.get("batch", 16)):
-        mask = b["mask"]
-        overlaps.append(np.asarray(compute_overlap(jnp.asarray(bbox_fake), jnp.asarray(mask))))
-        alignments.append(np.asarray(compute_alignment(jnp.asarray(bbox_fake), jnp.asarray(mask))))
+        mask = np.asarray(b["mask"])
+        bbox_fake = np.asarray(bbox_fake, np.float64)
+        overlaps.append(compute_overlap(bbox_fake, mask, xp=np))
+        alignments.append(compute_alignment(bbox_fake, mask, xp=np))
+        real = np.asarray(b["bboxes"], np.float64)
         for k in range(bbox_fake.shape[0]):
             m = mask[k]
-            bf, br = bbox_fake[k][m], b["bboxes"][k][m]
-            ious.append(float(np.asarray(compute_iou(jnp.asarray(bf), jnp.asarray(br))).mean()))
-            docsims.append(float(np.asarray(
-                compute_docsim_weight(jnp.asarray(bf), jnp.asarray(br))).mean()))
+            bf, br = bbox_fake[k][m], real[k][m]
+            ious.append(float(compute_iou(bf, br, xp=np).mean()))
+            docsims.append(float(compute_docsim_weight(bf, br, xp=np).mean()))
+        done += bbox_fake.shape[0]
+        if done % 128 == 0 or done >= n:
+            print(f"[layout_eval_suite] {done}/{n} items ({time.time() - t0:.0f}s)",
+                  flush=True)
 
     return {
         "overlap50k_val": float(np.concatenate(overlaps).mean()),
@@ -63,8 +72,8 @@ def maximum_iou_for_layout(layout_1, layout_2) -> float:
         if m == 0 or len(_bj) != m:
             continue
         ii, jj = np.meshgrid(range(m), range(m))
-        iou = np.asarray(compute_iou(jnp.asarray(_bi[ii.ravel()]),
-                                     jnp.asarray(_bj[jj.ravel()]))).reshape(m, m)
+        iou = np.asarray(compute_iou(_bi[ii.ravel()], _bj[jj.ravel()],
+                                     xp=np)).reshape(m, m)
         rr, cc = scipy.optimize.linear_sum_assignment(iou, maximize=True)
         score += iou[rr, cc].sum()
     return score / n
@@ -82,8 +91,8 @@ def maximum_docsim_for_layout(layout_1, layout_2) -> float:
         if m == 0 or len(_bj) != m:
             continue
         ii, jj = np.meshgrid(range(m), range(m))
-        w = np.asarray(compute_docsim_weight(jnp.asarray(_bi[ii.ravel()]),
-                                             jnp.asarray(_bj[jj.ravel()]))).reshape(m, m)
+        w = np.asarray(compute_docsim_weight(_bi[ii.ravel()], _bj[jj.ravel()],
+                                             xp=np)).reshape(m, m)
         rr, cc = scipy.optimize.linear_sum_assignment(w, maximize=True)
         score += w[rr, cc].sum()
     return score / n

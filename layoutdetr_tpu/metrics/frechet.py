@@ -18,7 +18,16 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     sigma2 = np.atleast_2d(sigma2)
     diff = mu1 - mu2
 
-    covmean = scipy.linalg.sqrtm(sigma1.dot(sigma2))
+    prod = sigma1.dot(sigma2)
+    if not (np.isfinite(diff).all() and np.isfinite(prod).all()):
+        # LAPACK's Schur iteration SPINS FOREVER on NaN/Inf input (it
+        # hung a training run's snapshot eval for hours) — never hand
+        # sqrtm a non-finite matrix. FID of non-finite features is
+        # undefined; report NaN loudly instead.
+        print("[frechet] WARNING: non-finite feature statistics; "
+              "returning NaN", flush=True)
+        return float("nan")
+    covmean = scipy.linalg.sqrtm(prod)
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = scipy.linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))

@@ -32,11 +32,20 @@ def _layoutnet(opts):
     num_label = 13 if any(k in name for k in (
         "rico", "enrico", "clay", "ads_banner_collection",
         "AMT_uploaded_ads_banners", "cgl_dataset")) else 5
-    net = LayoutNet(num_label)
     params = opts.get("layoutnet_params")
+    ds_labels = getattr(opts.dataset, "num_bbox_labels", None)
+    if params is None and ds_labels and ds_labels > num_label:
+        # Random-feature fallback on a dataset outside the reference's
+        # named label spaces: size the embedding to the dataset. An
+        # out-of-range label would be an OOB gather — XLA:CPU clamps it,
+        # but the TPU backend returns garbage/NaN (this silently
+        # poisoned a whole eval with all-NaN features once).
+        num_label = int(ds_labels)
+    net = LayoutNet(num_label)
     if params is None:
         print("[layout_fid] WARNING: no pretrained LayoutNet weights; "
-              "using seed-0 random features (self-consistent, not reference-scale)")
+              "using seed-0 random features (self-consistent, not reference-scale)",
+              flush=True)
         bbox = np.zeros((1, 9, 4), np.float32)
         label = np.zeros((1, 9), np.int64)
         pad = np.zeros((1, 9), bool)
@@ -46,18 +55,34 @@ def _layoutnet(opts):
         label_idx_replace_2="cgl_dataset" in name,
     )
 
-    @jax.jit
-    def features(bbox, label, padding_mask):
-        return net.apply(params, bbox, label, padding_mask, **remap,
-                         method=net.extract_features)
+    jit_features = jax.jit(
+        lambda bbox, label, padding_mask: net.apply(
+            params, bbox, label, padding_mask, **remap,
+            method=net.extract_features))
 
-    return features
+    def features(bbox, label, padding_mask):
+        if not any(remap.values()):
+            # Reference-named datasets remap in-graph into the net's
+            # label space; everything else must already be in range.
+            lmax = int(np.max(label)) if np.size(label) else 0
+            if lmax >= num_label:
+                raise ValueError(
+                    f"dataset label id {lmax} is out of range for a "
+                    f"{num_label}-label LayoutNet — pass --layoutnet-ckpt "
+                    "weights matching the dataset's label space")
+        return jit_features(bbox, label, padding_mask)
+
+    return features, num_label
 
 
 def generate_layouts(opts, indices, batch: int = 16):
     """Run the EMA generator over dataset items; yields (bbox_fake, batch)."""
     dataset = opts.dataset
-    g_apply = jax.jit(opts.g_apply)
+    # Callers (train.py/evaluate.py) pass a pre-jitted apply so tracing
+    # happens once per process, not once per metric; only wrap raw fns.
+    g_apply = opts.g_apply
+    if not hasattr(g_apply, "lower"):
+        g_apply = jax.jit(g_apply)
     rng = jax.random.PRNGKey(opts.get("seed", 0))
     for i in range(0, len(indices), batch):
         idxs = indices[i:i + batch]
@@ -72,7 +97,7 @@ def generate_layouts(opts, indices, batch: int = 16):
         yield np.asarray(bbox_fake), b
 
 
-def _real_stats_cache_path(opts, n):
+def _real_stats_cache_path(opts, n, num_label):
     """Cache key for real-dataset feature stats (the reference md5-caches
     dataset stats, metric_utils_layout.py:205-222)."""
     import hashlib
@@ -82,7 +107,8 @@ def _real_stats_cache_path(opts, n):
     ident = getattr(ds, "_path", None) or getattr(getattr(ds, "_ds", None), "_path", None) \
         or getattr(ds, "name", "ds")
     has_weights = opts.get("layoutnet_params") is not None
-    key = hashlib.md5(f"{ident}|{n}|{has_weights}".encode()).hexdigest()[:16]
+    key = hashlib.md5(
+        f"{ident}|{n}|{has_weights}|L{num_label}".encode()).hexdigest()[:16]
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "layoutdetr_tpu")
     os.makedirs(cache_dir, exist_ok=True)
     return os.path.join(cache_dir, f"layout-fid-real-{key}.npz")
@@ -90,18 +116,22 @@ def _real_stats_cache_path(opts, n):
 
 def compute_layout_fid(opts, max_items: int = 50000) -> float:
     dataset = opts.dataset
-    feat_fn = _layoutnet(opts)
+    feat_fn, num_label = _layoutnet(opts)
     n = min(len(dataset), max_items)
     indices = list(range(n))
 
-    cache_path = _real_stats_cache_path(opts, n)
+    cache_path = _real_stats_cache_path(opts, n, num_label)
     import os
 
+    mu_r = sig_r = None
     if opts.get("cache_real_stats", True) and os.path.exists(cache_path):
         cached = np.load(cache_path)
-        mu_r, sig_r = cached["mu"], cached["sigma"]
-        real = None
-    else:
+        if np.isfinite(cached["mu"]).all() and np.isfinite(cached["sigma"]).all():
+            mu_r, sig_r = cached["mu"], cached["sigma"]
+            real = None
+        else:  # poisoned by an earlier non-finite feature pass — recompute
+            os.remove(cache_path)
+    if mu_r is None:
         real_feats = []
         for i in range(0, n, 64):
             b = dataset.collate(indices[i:i + 64])
@@ -109,8 +139,15 @@ def compute_layout_fid(opts, max_items: int = 50000) -> float:
         real = np.concatenate(real_feats)
 
     fake_feats = []
+    import time
+
+    t0, done = time.time(), 0
     for bbox_fake, b in generate_layouts(opts, indices, batch=opts.get("batch", 16)):
         fake_feats.append(np.asarray(feat_fn(bbox_fake, b["labels"], b["padding_mask"])))
+        done += bbox_fake.shape[0]
+        if done % 128 == 0 or done >= n:
+            print(f"[layout_fid] generated {done}/{n} ({time.time() - t0:.0f}s)",
+                  flush=True)
     fake = np.concatenate(fake_feats)
 
     mu_f, sig_f = gaussian_stats(fake)

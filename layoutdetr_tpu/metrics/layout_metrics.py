@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def convert_xywh_to_ltrb(bbox):
@@ -27,13 +28,18 @@ def convert_xywh_to_ltrb(bbox):
     return xc - w / 2, yc - h / 2, xc + w / 2, yc + h / 2
 
 
-def _safe_div(a, b):
+def _safe_div(a, b, xp=jnp):
     """a / b with 0 where the quotient is non-finite (torch.nan_to_num parity)."""
-    out = a / b
-    return jnp.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+    import contextlib
+
+    guard = (np.errstate(divide="ignore", invalid="ignore") if xp is np
+             else contextlib.nullcontext())
+    with guard:
+        out = a / b
+    return xp.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
 
 
-def compute_overlap(bbox, mask):
+def compute_overlap(bbox, mask, xp=jnp):
     """Overlapping loss (Attribute-conditioned Layout GAN §3.6.3).
 
     Parity target: metrics/metric_layoutnet.py:153-179.
@@ -43,30 +49,34 @@ def compute_overlap(bbox, mask):
       mask: [B, N] bool, True = valid.
     Returns:
       [B] mean pairwise (intersection / own-area) per valid element.
+
+    ``xp``: array module — jnp (default; jit-able, used by the training
+    loss) or np (host-side eval: keeps the 50k-item metric loops off the
+    device dispatch path, which matters through a tunneled TPU backend).
     """
-    bbox = jnp.where(mask[..., None], bbox, 0.0)
-    bbox = jnp.moveaxis(bbox, -1, 0)  # [4, B, N]
+    bbox = xp.where(mask[..., None], bbox, 0.0)
+    bbox = xp.moveaxis(bbox, -1, 0)  # [4, B, N]
 
     l1, t1, r1, b1 = convert_xywh_to_ltrb(bbox[..., None])  # [B, N, 1]
     l2, t2, r2, b2 = convert_xywh_to_ltrb(bbox[:, :, None, :])  # [B, 1, N]
     a1 = (r1 - l1) * (b1 - t1)  # [B, N, 1]
 
-    l_max = jnp.maximum(l1, l2)
-    r_min = jnp.minimum(r1, r2)
-    t_max = jnp.maximum(t1, t2)
-    b_min = jnp.minimum(b1, b2)
+    l_max = xp.maximum(l1, l2)
+    r_min = xp.minimum(r1, r2)
+    t_max = xp.maximum(t1, t2)
+    b_min = xp.minimum(b1, b2)
     cond = (l_max < r_min) & (t_max < b_min)
-    ai = jnp.where(cond, (r_min - l_max) * (b_min - t_max), 0.0)  # [B, N, N]
+    ai = xp.where(cond, (r_min - l_max) * (b_min - t_max), 0.0)  # [B, N, N]
 
     n = ai.shape[-1]
-    diag = jnp.eye(n, dtype=bool)
-    ai = jnp.where(diag[None], 0.0, ai)
+    diag = xp.eye(n, dtype=bool)
+    ai = xp.where(diag[None], 0.0, ai)
 
-    ar = _safe_div(ai, a1)  # [B, N, N]
+    ar = _safe_div(ai, a1, xp=xp)  # [B, N, N]
     return ar.sum(axis=(1, 2)) / mask.astype(bbox.dtype).sum(-1)
 
 
-def compute_alignment(bbox, mask):
+def compute_alignment(bbox, mask, xp=jnp):
     """Alignment loss (Attribute-conditioned Layout GAN §3.6.4).
 
     Parity target: metrics/metric_layoutnet.py:182-201, including its
@@ -78,21 +88,21 @@ def compute_alignment(bbox, mask):
     Returns:
       [B].
     """
-    bb = jnp.moveaxis(bbox, -1, 0)  # [4, B, N]
+    bb = xp.moveaxis(bbox, -1, 0)  # [4, B, N]
     xl, yt, xr, yb = convert_xywh_to_ltrb(bb)
     xc, yc = bb[0], bb[1]
-    X = jnp.stack([xl, xc, xr, yt, yc, yb], axis=1)  # [B, 6, N]
+    X = xp.stack([xl, xc, xr, yt, yc, yb], axis=1)  # [B, 6, N]
 
     X = X[..., None] - X[..., None, :]  # [B, 6, N, N]
     n = X.shape[-1]
-    diag = jnp.eye(n, dtype=bool)
-    X = jnp.where(diag[None, None], 1.0, X)
-    X = jnp.abs(X).transpose(0, 2, 1, 3)  # [B, N, 6, N]
-    X = jnp.where(mask[:, :, None, None], X, 1.0)
+    diag = xp.eye(n, dtype=bool)
+    X = xp.where(diag[None, None], 1.0, X)
+    X = xp.abs(X).transpose(0, 2, 1, 3)  # [B, N, 6, N]
+    X = xp.where(mask[:, :, None, None], X, 1.0)
     X = X.min(axis=-1).min(axis=-1)  # [B, N]
-    X = jnp.where(X == 1.0, 0.0, X)
+    X = xp.where(X == 1.0, 0.0, X)
 
-    X = -jnp.log1p(-X)
+    X = -xp.log1p(-X)
     return X.sum(-1) / mask.astype(X.dtype).sum(-1)
 
 
@@ -131,29 +141,29 @@ def generalized_iou_loss(bbox_pred, bbox_tgt, mask=None):
     return jnp.sum(jnp.where(mask, per_elem, 0.0)) / jnp.maximum(m.sum(), 1.0)
 
 
-def compute_iou(box_1, box_2):
+def compute_iou(box_1, box_2, xp=jnp):
     """Elementwise IoU of paired boxes [N, 4] (metric_layoutnet.py:66-92)."""
     l1, t1, r1, b1 = convert_xywh_to_ltrb(box_1.T)
     l2, t2, r2, b2 = convert_xywh_to_ltrb(box_2.T)
     a1, a2 = (r1 - l1) * (b1 - t1), (r2 - l2) * (b2 - t2)
 
-    l_max = jnp.maximum(l1, l2)
-    r_min = jnp.minimum(r1, r2)
-    t_max = jnp.maximum(t1, t2)
-    b_min = jnp.minimum(b1, b2)
+    l_max = xp.maximum(l1, l2)
+    r_min = xp.minimum(r1, r2)
+    t_max = xp.maximum(t1, t2)
+    b_min = xp.minimum(b1, b2)
     cond = (l_max < r_min) & (t_max < b_min)
-    ai = jnp.where(cond, (r_min - l_max) * (b_min - t_max), 0.0)
+    ai = xp.where(cond, (r_min - l_max) * (b_min - t_max), 0.0)
 
-    return _safe_div(ai, a1 + a2 - ai)
+    return _safe_div(ai, a1 + a2 - ai, xp=xp)
 
 
-def compute_docsim_weight(box_1, box_2):
+def compute_docsim_weight(box_1, box_2, xp=jnp):
     """DocSim pairing weight (metric_layoutnet.py:204-221)."""
     xc1, yc1, w1, h1 = box_1.T
     xc2, yc2, w2, h2 = box_2.T
     location_difference = ((xc1 - xc2) ** 2 + (yc1 - yc2) ** 2) ** 0.5
-    shape_difference = jnp.abs(w1 - w2) + jnp.abs(h1 - h2)
-    area_factor = jnp.minimum(w1 * h1, w2 * h2) ** 0.5
+    shape_difference = xp.abs(w1 - w2) + xp.abs(h1 - h2)
+    area_factor = xp.minimum(w1 * h1, w2 * h2) ** 0.5
     return area_factor * 2 ** (-location_difference - 2.0 * shape_difference)
 
 

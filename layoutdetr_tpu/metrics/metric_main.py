@@ -40,6 +40,14 @@ def calc_metric(metric: str, **kwargs) -> EasyDict:
     num_items, batch, seed..."""
     assert is_valid_metric(metric), f"unknown metric {metric!r}"
     opts = EasyDict(kwargs)
+    if opts.get("params") is not None:
+        # Commit the generator params to device ONCE. Callers often hand
+        # host numpy pytrees (train.py device_gets the EMA params);
+        # without this every jitted generator batch re-uploads the full
+        # ~800 MB fp32 tree — ruinous through the tunneled TPU backend.
+        import jax
+
+        opts.params = jax.device_put(opts.params)
     start_time = time.time()
     results = _metric_dict[metric](opts)
     total_time = time.time() - start_time
@@ -57,7 +65,7 @@ def report_metric(result_dict: EasyDict, run_dir: Optional[str] = None,
     jsonl_line = json.dumps(
         dict(result_dict, snapshot_path=snapshot_path, timestamp=time.time())
     )
-    print(jsonl_line)
+    print(jsonl_line, flush=True)
     if run_dir is not None and os.path.isdir(run_dir):
         with open(os.path.join(run_dir, f"metric-{metric}.jsonl"), "a") as f:
             f.write(jsonl_line + "\n")

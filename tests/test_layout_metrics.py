@@ -115,3 +115,29 @@ def test_masked_cross_entropy_matches_gathered_mean():
         masked_cross_entropy(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask))
     )
     np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_numpy_path_matches_jnp():
+    """The host-side (xp=np) eval path must agree exactly with the
+    jitted jnp math used by the training loss."""
+    import numpy as np
+
+    from layoutdetr_tpu.metrics.layout_metrics import (
+        compute_alignment,
+        compute_docsim_weight,
+        compute_iou,
+        compute_overlap,
+    )
+
+    rng = np.random.RandomState(0)
+    bbox = rng.uniform(0.05, 0.9, size=(4, 9, 4)).astype(np.float32)
+    mask = rng.rand(4, 9) > 0.3
+    mask[:, 0] = True
+    for fn in (compute_overlap, compute_alignment):
+        np.testing.assert_allclose(np.asarray(fn(bbox, mask)),
+                                   fn(bbox, mask, xp=np), rtol=1e-5, atol=1e-6)
+    b1 = rng.uniform(0.05, 0.9, size=(7, 4)).astype(np.float32)
+    b2 = rng.uniform(0.05, 0.9, size=(7, 4)).astype(np.float32)
+    for fn in (compute_iou, compute_docsim_weight):
+        np.testing.assert_allclose(np.asarray(fn(b1, b2)),
+                                   fn(b1, b2, xp=np), rtol=1e-5, atol=1e-6)

@@ -245,7 +245,14 @@ def main(**opts):
             val_path = opts.data
         val_dataset = LayoutDataset(val_path, background_size=opts.background_size,
                                     max_text_length=opts.max_text_length)
+        import jax as _jax_m
+
         metric_g = Generator(gcfg)
+        # Jitted once: shared across every metric and every snapshot
+        # tick (re-tracing the full generator per metric costs minutes
+        # on a small host; re-uploading params per metric costs GBs
+        # through a tunneled backend — see calc_metric's device_put).
+        metric_g_apply = _jax_m.jit(metric_g.apply)
 
         layoutnet_params = None
         if opts.layoutnet_ckpt:
@@ -256,16 +263,32 @@ def main(**opts):
         def metrics_fn(state, snap_path, cur_nimg):
             import jax as _jax
 
-            params = _jax.device_get(state.params_gema)
+            # Single-process: hand the on-device EMA params straight to
+            # the metric jits (zero transfers). Multi-process: the chief
+            # evaluates on a host copy of the global arrays.
+            params = state.params_gema
+            if _jax.process_count() > 1:
+                params = _jax.device_get(params)
             for m in metric_names:
                 result = metric_main.calc_metric(
-                    m, g_apply=metric_g.apply, params=params, dataset=val_dataset,
+                    m, g_apply=metric_g_apply, params=params, dataset=val_dataset,
                     gcfg=gcfg, layoutnet_params=layoutnet_params,
                     inception_params=opts.inception_ckpt or None,
                     batch=min(16, opts.batch_size),
                     seed=opts.seed,
                 )
                 metric_main.report_metric(result, run_dir=run_dir, snapshot_path=snap_path)
+
+    # Stack dumps for long-run diagnosis: `kill -USR1 <pid>` prints every
+    # thread's Python stack to stderr without disturbing the run.
+    import faulthandler
+    import signal
+
+    faulthandler.enable()
+    try:
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (AttributeError, ValueError):
+        pass  # non-POSIX / non-main thread
 
     logger = Logger(os.path.join(run_dir, "log.txt"))
     try:
