@@ -130,3 +130,49 @@ def test_rendering_val_renders_real_and_fake(tiny_setup, tmp_path):
     # Skipped pages violate the filter: >4 elements, non-renderable or
     # duplicated types.
     assert r["rendering_val"] <= len(dataset)
+
+
+def test_layoutnet_label_space_guards():
+    """An unknown-name dataset must never feed out-of-range labels into
+    the LayoutNet embedding: OOB gathers clamp on XLA:CPU but return
+    garbage/NaN on the TPU backend (this poisoned a real eval's cached
+    stats with all-NaN and hung scipy sqrtm for hours)."""
+    from layoutdetr_tpu.config import EasyDict
+    from layoutdetr_tpu.metrics.layout_fid import _layoutnet
+
+    class FakeDS:
+        name = ""  # no reference dataset-name match -> 5-label default
+        num_bbox_labels = 8
+
+    # Random-feature fallback: embedding widened to the dataset's space.
+    feat_fn, num_label = _layoutnet(EasyDict(dataset=FakeDS()))
+    assert num_label == 8
+    bbox = np.random.RandomState(0).rand(2, 9, 4).astype(np.float32)
+    label = np.full((2, 9), 7, np.int64)  # max label id of the dataset
+    pad = np.zeros((2, 9), bool)
+    f = np.asarray(feat_fn(bbox, label, pad))
+    assert np.isfinite(f).all()
+
+    # Pretrained-style params (label space fixed at 5): out-of-range
+    # labels must raise, not gather garbage.
+    from layoutdetr_tpu.models.layoutnet import LayoutNet
+
+    net5 = LayoutNet(5)
+    params5 = net5.init(jax.random.PRNGKey(0), bbox[:1], label[:1] * 0, pad[:1])
+    feat5, nl5 = _layoutnet(EasyDict(dataset=FakeDS(), layoutnet_params=params5))
+    assert nl5 == 5
+    with pytest.raises(ValueError, match="out of range"):
+        feat5(bbox, label, pad)
+
+
+def test_frechet_nan_guard():
+    """Non-finite stats must return NaN immediately — LAPACK's sqrtm
+    spins forever on NaN input."""
+    from layoutdetr_tpu.metrics.frechet import frechet_distance
+
+    mu = np.zeros(4)
+    sig = np.eye(4)
+    bad = sig.copy()
+    bad[0, 0] = np.nan
+    assert np.isnan(frechet_distance(mu, bad, mu, sig))
+    assert np.isfinite(frechet_distance(mu, sig, mu, sig))
