@@ -24,19 +24,6 @@ def parse_comma_separated_list(s):
     return s.split(",")
 
 
-def _enable_stack_dumps():
-    """`kill -USR1 <pid>` prints every thread's Python stack to stderr
-    (long metric passes on a tunneled backend are otherwise opaque)."""
-    import faulthandler
-    import signal
-
-    faulthandler.enable()
-    try:
-        faulthandler.register(signal.SIGUSR1, all_threads=True)
-    except (AttributeError, ValueError):
-        pass
-
-
 @click.command()
 @click.option("--ckpt", required=True, help="Checkpoint: orbax directory or reference snapshot .pkl")
 @click.option("--data", required=True, help="Validation zip")
@@ -56,14 +43,15 @@ def _enable_stack_dumps():
 @click.option("--run-dir", type=str, default=".", show_default=True)
 def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
          max_items, layoutnet_ckpt, inception_ckpt, seed, run_dir):
-    _enable_stack_dumps()
     from layoutdetr_tpu.data.dataset import LayoutDataset
     from layoutdetr_tpu.metrics import metric_main
     from layoutdetr_tpu.models.generator import Generator
     from layoutdetr_tpu.utils.checkpoint import (load_generator_checkpoint,
                                                  restore_checkpoint)
     from layoutdetr_tpu.utils.compile_cache import enable_compile_cache
+    from layoutdetr_tpu.utils.misc import enable_stack_dumps
 
+    enable_stack_dumps()
     enable_compile_cache()
 
     dataset = LayoutDataset(data, background_size=background_size,
@@ -77,10 +65,14 @@ def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
     layoutnet_params = restore_checkpoint(layoutnet_ckpt) if layoutnet_ckpt else None
 
     # One jitted apply shared by every metric (tracing the full
-    # generator takes minutes on a small host — do it once).
+    # generator takes minutes on a small host — do it once), and one
+    # device upload of the ~800 MB param tree (calc_metric's own
+    # device_put is then a no-op instead of a per-metric re-upload
+    # through the tunneled backend).
     import jax
 
     g_apply = jax.jit(g.apply)
+    params = jax.device_put(params)
 
     for metric in metrics:
         if not metric_main.is_valid_metric(metric):

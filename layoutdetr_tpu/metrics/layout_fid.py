@@ -34,7 +34,17 @@ def _layoutnet(opts):
         "AMT_uploaded_ads_banners", "cgl_dataset")) else 5
     params = opts.get("layoutnet_params")
     ds_labels = getattr(opts.dataset, "num_bbox_labels", None)
-    if params is None and ds_labels and ds_labels > num_label:
+    if params is not None:
+        # Provided (converted-pretrained) weights define the label
+        # space, not the dataset-name heuristic — otherwise correct
+        # custom-dataset weights would be rejected by the range guard.
+        from jax.tree_util import keystr, tree_flatten_with_path
+
+        emb = [leaf for path, leaf in tree_flatten_with_path(params)[0]
+               if "emb_label_table" in keystr(path)]
+        if emb:
+            num_label = int(emb[0].shape[0])
+    elif ds_labels and ds_labels > num_label:
         # Random-feature fallback on a dataset outside the reference's
         # named label spaces: size the embedding to the dataset. An
         # out-of-range label would be an OOB gather — XLA:CPU clamps it,

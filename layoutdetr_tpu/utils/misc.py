@@ -60,3 +60,17 @@ def nan_guard(tree, where: str = "") -> None:
         if not np.isfinite(arr).all():
             name = "/".join(str(getattr(k, "key", k)) for k in path)
             raise FloatingPointError(f"non-finite values at {where}{name}")
+
+
+def enable_stack_dumps() -> None:
+    """`kill -USR1 <pid>` prints every thread's Python stack to stderr —
+    long metric passes / training runs on a tunneled backend are
+    otherwise opaque. Shared by train.py and evaluate.py."""
+    import faulthandler
+    import signal
+
+    faulthandler.enable()
+    try:
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (AttributeError, ValueError):
+        pass  # non-POSIX platform / not on the main thread

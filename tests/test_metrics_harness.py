@@ -164,6 +164,16 @@ def test_layoutnet_label_space_guards():
     with pytest.raises(ValueError, match="out of range"):
         feat5(bbox, label, pad)
 
+    # Provided weights that DO match the dataset's 8-label space define
+    # the label space (not the dataset-name heuristic) and must be
+    # accepted — the guard rejecting correct custom-dataset weights
+    # would make layout-FID impossible to compute with them.
+    net8 = LayoutNet(8)
+    params8 = net8.init(jax.random.PRNGKey(0), bbox[:1], label[:1] * 0, pad[:1])
+    feat8, nl8 = _layoutnet(EasyDict(dataset=FakeDS(), layoutnet_params=params8))
+    assert nl8 == 8
+    assert np.isfinite(np.asarray(feat8(bbox, label, pad))).all()
+
 
 def test_frechet_nan_guard():
     """Non-finite stats must return NaN immediately — LAPACK's sqrtm

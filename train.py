@@ -281,14 +281,9 @@ def main(**opts):
 
     # Stack dumps for long-run diagnosis: `kill -USR1 <pid>` prints every
     # thread's Python stack to stderr without disturbing the run.
-    import faulthandler
-    import signal
+    from layoutdetr_tpu.utils.misc import enable_stack_dumps
 
-    faulthandler.enable()
-    try:
-        faulthandler.register(signal.SIGUSR1, all_threads=True)
-    except (AttributeError, ValueError):
-        pass  # non-POSIX / non-main thread
+    enable_stack_dumps()
 
     logger = Logger(os.path.join(run_dir, "log.txt"))
     try:
