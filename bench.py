@@ -51,41 +51,6 @@ REF_ASSUMED_MFU = 0.10            # documented assumption, see module docstring
 FALLBACK_REF_IMGS_PER_SEC = 5.0   # used only if XLA cost analysis is unavailable
 
 
-def _wait_for_backend(max_wait_s=None):
-    """Wait out a transient TPU-tunnel outage before initializing JAX.
-
-    The tunneled TPU backend has two observed failure modes: init raises
-    (Unavailable) or init HANGS indefinitely. Neither can be retried
-    in-process (a hung init blocks the backend lock forever), so probe
-    with short-lived subprocesses until one initializes cleanly, then do
-    the real in-process init. Costs one interpreter spawn (~20 s on this
-    host) when healthy; bounded by BENCH_BACKEND_WAIT_S when not.
-    """
-    import subprocess
-
-    if max_wait_s is None:
-        max_wait_s = float(os.environ.get("BENCH_BACKEND_WAIT_S", 1800.0))
-    deadline = time.time() + max_wait_s
-    delay = 30.0
-    while True:
-        try:
-            subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                check=True, capture_output=True,
-                timeout=float(os.environ.get("BENCH_BACKEND_PROBE_S", 300.0)),
-            )
-            return
-        except Exception as e:
-            if time.time() >= deadline:
-                raise RuntimeError(
-                    f"JAX backend unavailable after {max_wait_s:.0f}s: {e}"
-                ) from e
-            print(f"[bench] backend probe failed ({type(e).__name__}); "
-                  f"retrying in {delay:.0f}s", file=sys.stderr)
-            time.sleep(delay)
-            delay = min(delay * 2, 300.0)
-
-
 def _step_flops(step, state, batch, rng):
     """Total FLOPs of one jitted train step via XLA cost analysis."""
     try:
@@ -126,7 +91,9 @@ def main():
     from __graft_entry__ import _enable_comp_cache, _example_batch
 
     if not args.smoke:
-        _wait_for_backend()  # ride out transient TPU-tunnel outages
+        from layoutdetr_tpu.utils.backend_wait import wait_for_backend
+
+        wait_for_backend()  # ride out transient TPU-tunnel outages
     _enable_comp_cache()  # TPU only; CPU AOT reloads are unsafe on this host
     from layoutdetr_tpu.models.discriminator import Discriminator
     from layoutdetr_tpu.models.generator import Generator, GeneratorConfig

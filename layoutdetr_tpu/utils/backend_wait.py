@@ -1,0 +1,57 @@
+"""Ride out transient TPU-tunnel outages before initializing JAX.
+
+The tunneled TPU backend on this class of host has two observed failure
+modes: backend init raises (Unavailable) or HANGS indefinitely. Neither
+can be retried in-process — a hung init blocks the backend lock forever
+— so healthiness is probed with short-lived subprocesses (which inherit
+the caller's environment and therefore resolve the same platform), and
+the real in-process init only proceeds once a probe initializes
+cleanly. Used by bench.py and __graft_entry__.entry(), the two
+driver-invoked entry points whose failure would zero out a round's
+recorded artifacts.
+
+Costs one interpreter spawn (~20 s on a 1-core host) when the backend
+is healthy and the platform is not already pinned to CPU; bounded by
+``BENCH_BACKEND_WAIT_S`` (default 1800 s) when it is not.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+
+def wait_for_backend(max_wait_s: float | None = None) -> None:
+    """Block until a fresh process can initialize the JAX backend.
+
+    No-op when the platform is already pinned to CPU (tests/conftest,
+    smoke runs): the CPU backend cannot be "down".
+    """
+    import jax
+
+    plats = jax.config.jax_platforms
+    if plats and plats.split(",")[0].strip() == "cpu":
+        return
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("BENCH_BACKEND_WAIT_S", 1800.0))
+    deadline = time.time() + max_wait_s
+    delay = 30.0
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                check=True, capture_output=True,
+                timeout=float(os.environ.get("BENCH_BACKEND_PROBE_S", 300.0)),
+            )
+            return
+        except Exception as e:
+            if time.time() >= deadline:
+                raise RuntimeError(
+                    f"JAX backend unavailable after {max_wait_s:.0f}s: {e}"
+                ) from e
+            print(f"[backend_wait] probe failed ({type(e).__name__}); "
+                  f"retrying in {delay:.0f}s", file=sys.stderr)
+            time.sleep(delay)
+            delay = min(delay * 2, 300.0)
