@@ -162,7 +162,7 @@ def make_text_feature_fn(cfg: "GeneratorConfig", dtype=jnp.float32,
                          deterministic, rngs=rngs)
 
     if flash and mesh is not None and mesh.shape.get("data", 1) > 1:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def sharded_fn(text_encoder_params, text_ids, text_mask,
@@ -182,7 +182,7 @@ def make_text_feature_fn(cfg: "GeneratorConfig", dtype=jnp.float32,
             return shard_map(
                 inner, mesh=mesh,
                 in_specs=(P(), P("data"), P("data"), P()),
-                out_specs=P("data"), check_rep=False,
+                out_specs=P("data"), check_vma=False,
             )(text_encoder_params, text_ids, text_mask, key)
 
         return sharded_fn
