@@ -35,7 +35,7 @@ def compute_layout_eval_suite(opts, max_items: int = 50000):
     # device ops would pay one dispatch round-trip each — thousands of
     # them through a tunneled TPU backend turned this loop into hours.
     overlaps, alignments, ious, docsims = [], [], [], []
-    t0, done = time.time(), 0
+    t0, done, last_logged = time.time(), 0, 0
     for bbox_fake, b in generate_layouts(opts, indices, batch=opts.get("batch", 16)):
         mask = np.asarray(b["mask"])
         bbox_fake = np.asarray(bbox_fake, np.float64)
@@ -48,7 +48,8 @@ def compute_layout_eval_suite(opts, max_items: int = 50000):
             ious.append(float(compute_iou(bf, br, xp=np).mean()))
             docsims.append(float(compute_docsim_weight(bf, br, xp=np).mean()))
         done += bbox_fake.shape[0]
-        if done % 128 == 0 or done >= n:
+        if done - last_logged >= 128 or done >= n:
+            last_logged = done
             print(f"[layout_eval_suite] {done}/{n} items ({time.time() - t0:.0f}s)",
                   flush=True)
 

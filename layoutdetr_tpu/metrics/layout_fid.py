@@ -151,11 +151,12 @@ def compute_layout_fid(opts, max_items: int = 50000) -> float:
     fake_feats = []
     import time
 
-    t0, done = time.time(), 0
+    t0, done, last_logged = time.time(), 0, 0
     for bbox_fake, b in generate_layouts(opts, indices, batch=opts.get("batch", 16)):
         fake_feats.append(np.asarray(feat_fn(bbox_fake, b["labels"], b["padding_mask"])))
         done += bbox_fake.shape[0]
-        if done % 128 == 0 or done >= n:
+        if done - last_logged >= 128 or done >= n:
+            last_logged = done
             print(f"[layout_fid] generated {done}/{n} ({time.time() - t0:.0f}s)",
                   flush=True)
     fake = np.concatenate(fake_feats)
@@ -163,6 +164,12 @@ def compute_layout_fid(opts, max_items: int = 50000) -> float:
     mu_f, sig_f = gaussian_stats(fake)
     if real is not None:
         mu_r, sig_r = gaussian_stats(real)
-        if opts.get("cache_real_stats", True):
+        # Never cache non-finite stats: re-saving them would repeat the
+        # full real-feature pass every run while still returning NaN.
+        if opts.get("cache_real_stats", True) and \
+                np.isfinite(mu_r).all() and np.isfinite(sig_r).all():
             np.savez(cache_path, mu=mu_r, sigma=sig_r)
+        elif not (np.isfinite(mu_r).all() and np.isfinite(sig_r).all()):
+            print("[layout_fid] WARNING: real-feature stats are non-finite; "
+                  "not caching", flush=True)
     return frechet_distance(mu_f, sig_f, mu_r, sig_r)

@@ -152,12 +152,18 @@ def rendering_val(opts):
     # Coverage: the reference scans the FULL val set
     # (rendering_utils.py:120-152); --max-items (or the explicit
     # max_render knob) caps the candidate scan, and any cap is logged so
-    # truncation never reads as full coverage.
+    # truncation never reads as full coverage. When NEITHER knob is
+    # given (the in-training snapshot path), default to 64 candidates —
+    # an unbounded scan per snapshot tick would stall training on large
+    # val sets; evaluate.py --max-items lifts the cap explicitly.
     cap = opts.get("max_render") or opts.get("max_items")
-    n = min(len(dataset), cap) if cap else len(dataset)
+    capped_by = "max_render" if opts.get("max_render") else "max_items"
+    if not cap:
+        cap, capped_by = 64, "default (pass --max-items to widen)"
+    n = min(len(dataset), cap)
     if n < len(dataset):
         print(f"rendering_val: scanning {n} of {len(dataset)} val items "
-              f"(capped by {'max_render' if opts.get('max_render') else 'max_items'})")
+              f"(capped by {capped_by})")
     rendered = 0
     item_idx = 0
     for bbox_fake, b in generate_layouts(opts, list(range(n)), batch=opts.get("batch", 16)):

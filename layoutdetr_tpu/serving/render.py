@@ -159,8 +159,12 @@ def compose_banner_html(boxes, masks, styles: List[dict], is_center: bool,
                 css += f"border-radius:{str(params['radius']).strip()}em;"
         # single-quoted style attr (it embeds the reference's id="..."
         # double-quote quirk) and minimal &/</> text escaping — the same
-        # serialization bs4 emits for the reference's saved HTML.
-        divs.append(f"<div style='{css}'>{html.escape(text, quote=False)}</div>")
+        # serialization bs4 emits for the reference's saved HTML. User-
+        # supplied style values (fontFamily, colors) may themselves
+        # contain single quotes; entity-escape them so they can't
+        # terminate the attribute early.
+        css_attr = css.replace("'", "&#39;")
+        divs.append(f"<div style='{css_attr}'>{html.escape(text, quote=False)}</div>")
 
     doc = HTML_TEMP.replace('src=""', f'src="{img_src}"')
     return doc.replace("</div></body>", "".join(divs) + "</div></body>")
@@ -235,8 +239,14 @@ def rerender_html_pil(html: str, html_dir: str) -> PIL.Image.Image:
     # compose_banner_html emits single-quoted style attrs (they embed
     # the reference's id="..." double-quote quirk); hand-authored or
     # browser-edited HTML is typically double-quoted — accept both.
+    import html as _htmllib
+
     for dm in re.finditer(r"<div style=(['\"])(.*?)\1>([^<]*)</div>", html):
-        style, text = dm.group(2), dm.group(3)
+        # compose_banner_html entity-escapes both the style attr (&#39;)
+        # and the text (&amp;/&lt;/&gt;); undo that before drawing so a
+        # round-trip rasterizes the original characters.
+        style = _htmllib.unescape(dm.group(2))
+        text = _htmllib.unescape(dm.group(3))
         if "position:absolute" not in style:
             continue
         if not text.strip():

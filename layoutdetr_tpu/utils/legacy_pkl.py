@@ -215,6 +215,11 @@ class SafeUnpickler(pickle.Unpickler):
     """Unpickler that rebuilds tensors for real and stubs everything else."""
 
     def find_class(self, module: str, name: str):  # noqa: D102
+        if module in ("builtins", "__builtin__") and name in ("set", "frozenset"):
+            # protocol <=3 pickles emit builtins.set as a GLOBAL opcode
+            # (e.g. nn.Module._non_persistent_buffers_set); stubbing it
+            # would break `n not in nonpersist` in _walk_module.
+            return {"set": set, "frozenset": frozenset}[name]
         if module == "collections":
             import collections
 

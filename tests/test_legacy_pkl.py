@@ -228,3 +228,22 @@ def test_safe_storage_blob_roundtrip():
 
     rebuilt = _safe_load_storage_from_bytes(args[0])
     assert bytes(rebuilt) == bytes(st)
+
+
+def test_protocol3_builtins_set_unpickles():
+    """Pickles written at protocol <= 3 emit ``builtins.set`` as a
+    GLOBAL opcode (every nn.Module's ``_non_persistent_buffers_set``);
+    the restricted unpickler must resolve it for real — a stub is truthy
+    and breaks the ``n not in nonpersist`` walk in state_dict_of."""
+    import io
+
+    from layoutdetr_tpu.utils.legacy_pkl import SafeUnpickler, state_dict_of
+
+    m = torch.nn.Module()
+    m.register_buffer("keep", torch.ones(2))
+    m.register_buffer("skip", torch.zeros(2), persistent=False)
+    for proto in (2, 3, pickle.HIGHEST_PROTOCOL):
+        obj = SafeUnpickler(io.BytesIO(pickle.dumps(m, protocol=proto))).load()
+        sd = state_dict_of(obj)
+        assert set(sd) == {"keep"}, f"protocol {proto}: {sorted(sd)}"
+        np.testing.assert_array_equal(sd["keep"], np.ones(2, np.float32))

@@ -272,3 +272,45 @@ def test_rerender_pil_parses_own_compose_output(tmp_path):
     assert (img != 30).any()
     changed = (img != 30).any(axis=-1).mean()
     assert changed > 0.01, f"only {changed:.3%} of pixels changed"
+
+
+def test_compose_html_escapes_quotes_and_rerender_unescapes(tmp_path, monkeypatch):
+    """User style values may contain single quotes (CSS-quoted font
+    names) and texts may contain &/</> — the single-quoted style attr
+    must not terminate early, and a compose -> rerender round-trip must
+    draw the ORIGINAL characters, not the entities."""
+    import re
+
+    import PIL.ImageDraw
+
+    from layoutdetr_tpu.serving.render import compose_banner_html, rerender_html_pil
+
+    bbox, mask = sample_layout()
+    bg = PIL.Image.new("RGB", (128, 96), (30, 30, 30))
+    bg.save(tmp_path / "bg.png")
+    styles = [
+        {"type": "header", "text": "Tom & Jerry <live>",
+         "style": {"fontFamily": "'Noto Sans'", "color": "rgba(255, 255, 255, 255)"}},
+        {"type": "body text", "text": "deals",
+         "style": {"fontFamily": "Arial", "color": "rgba(200, 200, 200, 255)"}},
+    ]
+    html = compose_banner_html(bbox[0], mask[0], styles[:2] + [styles[1]],
+                               True, bg, "bg.png")
+    # quote entity-escaped inside the attr; text minimally escaped
+    assert "font-family:&#39;Noto Sans&#39;;" in html
+    assert "Tom &amp; Jerry &lt;live&gt;" in html
+    # every emitted div's style attr still carries its geometry (no
+    # early-terminated attribute)
+    for st in re.findall(r"<div style='([^']*)'>", html):
+        assert "top:" in st and "left:" in st and "width:" in st
+
+    drawn = []
+    orig_text = PIL.ImageDraw.ImageDraw.text
+
+    def record(self, xy, text, *a, **kw):
+        drawn.append(text)
+        return orig_text(self, xy, text, *a, **kw)
+
+    monkeypatch.setattr(PIL.ImageDraw.ImageDraw, "text", record)
+    rerender_html_pil(html, str(tmp_path))
+    assert "Tom & Jerry <live>" in drawn

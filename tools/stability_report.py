@@ -68,7 +68,6 @@ def report(run_dir, markdown=False):
         bad += sum(1 for _, v in pts if not math.isfinite(v))
     print(f"non-finite loss values: {bad}")
 
-    sep = "|" if markdown else "  "
     hdr = ["loss", "first", "q25", "mid", "q75", "last", "trend"]
     if markdown:
         print("| " + " | ".join(hdr) + " |")
@@ -83,11 +82,11 @@ def report(run_dir, markdown=False):
             continue
         q = lambda f: vals[min(len(vals) - 1, int(f * (len(vals) - 1)))]
         first, last = vals[0], vals[-1]
-        # Trend over the second half (ignores the noisy warmup).
+        # Trend word AND drift both over the second half (ignores the
+        # noisy warmup — first-vs-last would call an early spike "down").
         half = vals[len(vals) // 2:]
         drift = (half[-1] - half[0]) / (abs(half[0]) + 1e-8)
-        trend = ("down" if last < first * 0.95 else
-                 "up" if last > first * 1.05 else "flat")
+        trend = "down" if drift < -0.05 else "up" if drift > 0.05 else "flat"
         cells = [k, _fmt(first), _fmt(q(0.25)), _fmt(q(0.5)), _fmt(q(0.75)),
                  _fmt(last), f"{trend} ({drift:+.0%} 2nd half)"]
         if markdown:
