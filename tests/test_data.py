@@ -62,3 +62,43 @@ def test_infinite_sampler_rank_partition():
     # Deterministic given the seed.
     a2 = [next(iter(InfiniteSampler(10, rank=0, num_replicas=2, seed=1))) for _ in range(1)]
     assert a2[0] == a[0]
+
+
+def test_structured_synthetic_layouts(tmp_path):
+    """Structured mode draws the banner grammar: stacked, in-page,
+    non-overlapping, label-consistent layouts over smooth backgrounds
+    (the long-run stability fixture, tools/run_stability.sh)."""
+    zip_path = make_synthetic_zip(str(tmp_path / "train.zip"), num_samples=12,
+                                  image_size=32, max_elements=9, seed=3,
+                                  structured=True)
+    ds = LayoutDataset(zip_path, background_size=32, max_text_length=16)
+    assert len(ds) == 12
+    total_overlap = 0.0
+    for i in range(len(ds)):
+        item = ds[i]
+        m = item["mask"]
+        assert m.sum() >= 2  # grammar anchors: header + button
+        bb = item["bboxes"][m]
+        # Every box fully inside the page.
+        assert (bb[:, 0] - bb[:, 2] / 2 >= -1e-6).all()
+        assert (bb[:, 0] + bb[:, 2] / 2 <= 1 + 1e-6).all()
+        assert (bb[:, 1] - bb[:, 3] / 2 >= -1e-6).all()
+        assert (bb[:, 1] + bb[:, 3] / 2 <= 1 + 1e-6).all()
+        # Stacked grammar: pairwise vertical intersection ~0.
+        y0 = bb[:, 1] - bb[:, 3] / 2
+        y1 = bb[:, 1] + bb[:, 3] / 2
+        for a in range(len(bb)):
+            for b in range(a + 1, len(bb)):
+                ix = max(0.0, min(bb[a, 0] + bb[a, 2] / 2, bb[b, 0] + bb[b, 2] / 2)
+                         - max(bb[a, 0] - bb[a, 2] / 2, bb[b, 0] - bb[b, 2] / 2))
+                iy = max(0.0, min(y1[a], y1[b]) - max(y0[a], y0[b]))
+                total_overlap += ix * iy
+    assert total_overlap < 1e-6  # the grammar never overlaps elements
+
+    # Deterministic for a fixed seed (stable val sets across runs).
+    zip2 = make_synthetic_zip(str(tmp_path / "again.zip"), num_samples=12,
+                              image_size=32, max_elements=9, seed=3,
+                              structured=True)
+    ds2 = LayoutDataset(zip2, background_size=32, max_text_length=16)
+    np.testing.assert_array_equal(ds[0]["bboxes"], ds2[0]["bboxes"])
+    np.testing.assert_array_equal(ds[0]["background"], ds2[0]["background"])
