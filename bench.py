@@ -34,6 +34,9 @@ measured / (312e12 * 0.10 / F). See docs/BENCH_NOTES.md.
 Usage:
   python bench.py           # full config on the available accelerator
   python bench.py --smoke   # tiny config (CI / CPU)
+  python bench.py --infer   # EMA-generator forward (generate.py/serving
+                            # path) instead of the train step; same JSON
+                            # contract with metric=gan_inference_throughput
 """
 
 from __future__ import annotations
@@ -64,6 +67,71 @@ def _step_flops(step, state, batch, rng):
         return None
 
 
+def _bench_infer(args, g, params_g, batch, batch_np, b):
+    """Generator-forward throughput: the generate.py / api_server
+    serving path (one batched G call per request, reference
+    generate.py:308 / generate_util.py:353-463 per-seed loop)."""
+    import jax
+
+    fwd = jax.jit(lambda params, z, bt: g.apply(
+        params, z=z, bbox_real=bt["bboxes"], bbox_class=bt["labels"],
+        text_ids=bt["text_ids"], text_mask=bt["text_mask"],
+        text_len=bt["text_len"], padding_mask=~bt["mask"],
+        background=bt["background"], deterministic=True))
+    z = batch_np["z"]
+
+    flops = None
+    try:
+        compiled = fwd.lower(params_g, z, batch).compile()
+        analyses = compiled.cost_analysis()
+        ca = analyses[0] if isinstance(analyses, (list, tuple)) else analyses
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception as e:
+        print(f"[bench] cost analysis unavailable: {e}", file=sys.stderr)
+
+    for _ in range(args.warmup):
+        out = fwd(params_g, z, batch)
+    jax.block_until_ready(out)
+
+    def timed(n_steps):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            out = fwd(params_g, z, batch)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+    dt_burst = timed(args.burst_steps)
+    dt_sust = timed(args.steps)
+    if args.profile:
+        jax.profiler.stop_trace()
+
+    n_chips = len(jax.devices())
+    burst_ips = b * args.burst_steps / dt_burst / n_chips
+    sust_ips = b * args.steps / dt_sust / n_chips
+    print(f"[bench] infer sustained={sust_ips:.1f} imgs/s/chip "
+          f"({args.steps} calls, {dt_sust:.2f}s) | burst={burst_ips:.1f} "
+          f"({args.burst_steps} calls, {dt_burst:.2f}s)", file=sys.stderr)
+    if flops:
+        ref_ips = A100_PEAK_FLOPS * REF_ASSUMED_MFU / (flops / b)
+        print(f"[bench] infer flops/img={flops / b:.3e} "
+              f"achieved={flops * args.steps / dt_sust / n_chips / 1e12:.2f} TF/s/chip | "
+              f"derived A100 ref={ref_ips:.2f} imgs/s/chip", file=sys.stderr)
+    else:
+        ref_ips = FALLBACK_REF_IMGS_PER_SEC
+    print(json.dumps({
+        "metric": "gan_inference_throughput",
+        "value": round(sust_ips, 3),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(sust_ips / ref_ips, 3),
+        "value_sustained": round(sust_ips, 3),
+        "value_burst": round(burst_ips, 3),
+        "vs_baseline_burst": round(burst_ips / ref_ips, 3),
+    }))
+    return 0
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="tiny config")
@@ -84,6 +152,9 @@ def main():
                         help="this chip's bf16 peak, for the MFU diagnostic")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="capture a jax.profiler trace of the timed steps")
+    parser.add_argument("--infer", action="store_true",
+                        help="bench the generator forward (inference/serving "
+                             "path) instead of the full train step")
     args = parser.parse_args()
 
     import jax
@@ -134,7 +205,6 @@ def main():
 
     dtype = jnp.float32 if (args.fp32 or args.smoke) else jnp.bfloat16
     g = Generator(gcfg, dtype=dtype)
-    d = Discriminator(gcfg, dtype=dtype)
     key = jax.random.PRNGKey(0)
     init_kwargs = dict(
         bbox_class=batch["labels"][:1], text_ids=batch["text_ids"][:1],
@@ -144,6 +214,9 @@ def main():
     )
     params_g = g.init({"params": key, "dropout": key, "noise": key},
                       z=batch_np["z"][:1], bbox_real=batch["bboxes"][:1], **init_kwargs)
+    if args.infer:
+        return _bench_infer(args, g, params_g, batch, batch_np, b)
+    d = Discriminator(gcfg, dtype=dtype)
     params_d = d.init({"params": key, "dropout": key, "noise": key},
                       bbox=batch["bboxes"][:1], **init_kwargs)
     tx_g = build_optimizer(params_g, reg_interval=4, frozen_substrings=G_FROZEN_SUBSTRINGS)

@@ -30,3 +30,22 @@ def test_bench_smoke_json_contract():
     assert rec["unit"] == "imgs/sec/chip"
     assert rec["value"] == rec["value_sustained"]  # sustained is the headline
     assert rec["value"] > 0
+
+
+def test_bench_infer_smoke_json_contract():
+    """--infer benches the generator-forward (serving) path with the
+    same one-JSON-line contract (BASELINE: train AND infer imgs/sec)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "bench.py"), "--smoke", "--infer"],
+        cwd=REPO_ROOT, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, (out.stdout[-500:], out.stderr[-2000:])
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"stdout must be ONE JSON line, got: {lines}"
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "gan_inference_throughput"
+    assert rec["unit"] == "imgs/sec/chip"
+    assert rec["value"] == rec["value_sustained"] and rec["value"] > 0
