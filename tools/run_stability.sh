@@ -29,6 +29,7 @@ print("dataset built")
 EOF
 fi
 
+echo $$ > /tmp/stab_train.pid  # exec below keeps this pid for train.py
 exec python train.py \
   --outdir runs_stability \
   --data runs_stability/data/train.zip \
