@@ -79,7 +79,8 @@ def _structured_layout(rng, max_elements: int):
     align = rng.choice(["center", "left"])
     x_left = float(rng.uniform(0.06, 0.18))
     n_budget = int(rng.integers(2, max(3, min(max_elements, 7) + 1)))
-    chosen = [l for l in _STACK_ORDER if l in ("header", "button")]  # anchors
+    n_budget = min(n_budget, max_elements)
+    chosen = [l for l in _STACK_ORDER if l in ("header", "button")][:n_budget]
     optional = [l for l in _STACK_ORDER if l not in chosen]
     rng.shuffle(optional)
     chosen += optional[: max(0, n_budget - len(chosen))]

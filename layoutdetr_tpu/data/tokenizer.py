@@ -86,6 +86,8 @@ class LayoutTokenizer:
         """
         import json as _json
 
+        if self.backend != "hash":
+            return  # real WordPiece ids — the guard is irrelevant
         sidecar = str(ckpt_path) + ".converted.json"
         converted = False
         if str(ckpt_path).endswith(".pkl"):
@@ -96,7 +98,7 @@ class LayoutTokenizer:
             with open(sidecar) as f:
                 meta = _json.load(f)
             converted = meta.get("hf_token_ids", True)
-        if self.backend == "hash" and converted:
+        if converted:
             raise RuntimeError(
                 f"checkpoint {ckpt_path} was converted from torch and "
                 "expects HF WordPiece token ids, but no bert-base-uncased "

@@ -161,9 +161,11 @@ def compose_banner_html(boxes, masks, styles: List[dict], is_center: bool,
         # double-quote quirk) and minimal &/</> text escaping — the same
         # serialization bs4 emits for the reference's saved HTML. User-
         # supplied style values (fontFamily, colors) may themselves
-        # contain single quotes; entity-escape them so they can't
-        # terminate the attribute early.
-        css_attr = css.replace("'", "&#39;")
+        # contain single quotes or ampersands; entity-escape both
+        # (& first, like bs4's attribute serialization) so they can't
+        # terminate the attribute early and the unescape round-trip in
+        # rerender_html_pil is lossless.
+        css_attr = css.replace("&", "&amp;").replace("'", "&#39;")
         divs.append(f"<div style='{css_attr}'>{html.escape(text, quote=False)}</div>")
 
     doc = HTML_TEMP.replace('src=""', f'src="{img_src}"')

@@ -23,6 +23,25 @@ import sys
 import time
 
 
+def probe_device_count(timeout_s: float | None = None):
+    """Device count of the ambient platform, measured from a SHORT-LIVED
+    subprocess (hang-proof — see module docstring). Returns None when the
+    probe fails or times out. NOTE: a clean probe cannot guarantee the
+    subsequent in-process init succeeds (the tunnel may drop in the
+    window between them); it only removes the common
+    already-down-at-probe-time hang."""
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("BENCH_BACKEND_PROBE_S", 300.0))
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, check=True, text=True, timeout=timeout_s,
+        ).stdout.strip().splitlines()[-1]
+        return int(out)
+    except Exception:
+        return None
+
+
 def wait_for_backend(max_wait_s: float | None = None) -> None:
     """Block until a fresh process can initialize the JAX backend.
 
