@@ -80,7 +80,8 @@ def generate_banners(ckpt: str, background_img: PIL.Image.Image, elements,
     bg = np.array(background_img.resize((gcfg.background_size,) * 2, PIL.Image.LANCZOS))
     background = normalize_image(bg)
 
-    tok = LayoutTokenizer(max_length=gcfg.max_text_length)
+    tok = LayoutTokenizer(max_length=gcfg.max_text_length,
+                          length_clip=getattr(gcfg, "text_len_table", None))
     tok.require_hf_for_checkpoint(ckpt)
     text_ids, text_mask, text_len = tok.encode_layouts([texts_p])
 

@@ -60,6 +60,13 @@ def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
     params, gcfg = load_generator_checkpoint(
         ckpt, num_bbox_labels=dataset.num_bbox_labels,
         background_size=background_size, max_text_length=max_text_length)
+    # A checkpoint trained with --max-text-length auto carries its own T
+    # (and the decoupled char-length clip); re-tokenize to match it.
+    if (gcfg.max_text_length != dataset.tokenizer.max_length
+            or gcfg.text_len_table != dataset.tokenizer.length_clip):
+        dataset = LayoutDataset(data, background_size=background_size,
+                                max_text_length=gcfg.max_text_length,
+                                text_len_clip=gcfg.text_len_table)
     g = Generator(gcfg)
 
     layoutnet_params = restore_checkpoint(layoutnet_ckpt) if layoutnet_ckpt else None

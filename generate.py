@@ -121,7 +121,8 @@ def generate_images(ckpt, bg, bg_preprocessing, strings, string_labels, outfile,
 
         background = normalize_image(background)
 
-    tok = LayoutTokenizer(max_length=gcfg.max_text_length)
+    tok = LayoutTokenizer(max_length=gcfg.max_text_length,
+                          length_clip=getattr(gcfg, "text_len_table", None))
     tok.require_hf_for_checkpoint(ckpt)
     text_ids, text_mask, text_len = tok.encode_layouts([texts_padded])
 

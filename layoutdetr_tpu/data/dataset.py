@@ -62,6 +62,7 @@ class LayoutDataset:
         tokenizer: Optional[LayoutTokenizer] = None,
         random_seed: int = 0,
         use_native: Optional[bool] = None,
+        text_len_clip: Optional[int] = None,
     ):
         if not path.endswith(".zip"):
             raise IOError("Path must point to a zip")
@@ -69,7 +70,8 @@ class LayoutDataset:
         self.background_size = background_size
         self.load_patches = load_patches
         self.load_background_orig = load_background_orig
-        self.tokenizer = tokenizer or LayoutTokenizer(max_length=max_text_length)
+        self.tokenizer = tokenizer or LayoutTokenizer(
+            max_length=max_text_length, length_clip=text_len_clip)
         self._local = threading.local()
         # Native C++ decode/resize/normalize path (native/fastdata.cpp);
         # auto-enabled when the library builds, PIL otherwise.
@@ -100,6 +102,20 @@ class LayoutDataset:
 
     def __len__(self):
         return len(self._raw_idx)
+
+    def measured_max_text_tokens(self) -> int:
+        """Max token count (incl. CLS/SEP) over every text in the dataset.
+
+        Scans the already-loaded non_image.json metadata (no image I/O).
+        Backs ``train.py --max-text-length auto``: static shapes need T
+        fixed up front, and any T >= this bound is numerically exact
+        (masked attention ignores the padding columns).
+        """
+        mx = 2
+        for sample in self._samples:
+            for s in sample[1]["texts"]:
+                mx = max(mx, self.tokenizer.token_count(s))
+        return mx
 
     def _read_image(self, fname: str) -> np.ndarray:
         with self._zip().open(fname) as f:

@@ -52,8 +52,15 @@ class LayoutTokenizer:
     encode_batch(texts [B][N] or flat [M]) -> ids, mask, lengths (int32).
     """
 
-    def __init__(self, max_length: int = 256, vocab_dir: str | None = None):
+    def __init__(self, max_length: int = 256, vocab_dir: str | None = None,
+                 length_clip: int | None = None):
         self.max_length = max_length
+        # Char-length clip bound for the text_len feature. The reference
+        # clips at max_text_length-1 (networks_detr.py:149); when the
+        # token dimension is auto-bucketed below 256 the clip must stay
+        # at the model's text_len_table so the length embedding indexes
+        # are unchanged. Defaults to max_length (reference behavior).
+        self.length_clip = max_length if length_clip is None else length_clip
         self.bos_token_id = DEC_ID
         self.pad_token_id = PAD_ID
         self.vocab_size = VOCAB_SIZE
@@ -107,6 +114,16 @@ class LayoutTokenizer:
                 "vocab.txt."
             )
 
+    def token_count(self, text: str) -> int:
+        """Token count (incl. CLS/SEP) of ``text``, uncapped by max_length.
+
+        Used by ``--max-text-length auto`` to measure a dataset's true
+        max token length before choosing the static T bucket.
+        """
+        if self._hf is not None:
+            return len(self._hf.encode(text, truncation=False))
+        return len(_WORD_RE.findall(text)) + 2
+
     def _encode_one(self, text: str) -> List[int]:
         if self._hf is not None:
             return self._hf.encode(text, truncation=True, max_length=self.max_length)
@@ -127,7 +144,7 @@ class LayoutTokenizer:
             mask[i, : len(enc)] = 1
             # Reference uses raw character length as an embedding index
             # (networks_detr.py:149); clip to table size.
-            lens[i] = min(len(s), self.max_length - 1)
+            lens[i] = min(len(s), self.length_clip - 1)
         return ids, mask, lens
 
     def encode_layouts(self, texts_per_layout: Sequence[Sequence[str]]):

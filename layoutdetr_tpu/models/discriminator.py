@@ -104,9 +104,9 @@ class Discriminator(nn.Module):
                                     name="text_encoder")(text_ids, text_mask, deterministic)
         text_feat = text_feat.astype(self.dtype)
         enc_text_len = self.param(
-            "enc_text_len", nn.initializers.normal(1.0), (cfg.max_text_length, cfg.bert_f_dim), jnp.float32
+            "enc_text_len", nn.initializers.normal(1.0), (cfg.text_len_table, cfg.bert_f_dim), jnp.float32
         )
-        tlf = jnp.take(enc_text_len, jnp.clip(text_len, 0, cfg.max_text_length - 1), axis=0).astype(self.dtype)
+        tlf = jnp.take(enc_text_len, jnp.clip(text_len, 0, cfg.text_len_table - 1), axis=0).astype(self.dtype)
 
         x = jnp.concatenate([bf, lf, text_feat, tlf], axis=-1)
         x = nn.relu(MLP(cfg.bert_f_dim, cfg.hidden_dim, 3, dtype=self.dtype, name="enc_fc_in")(x))
@@ -159,9 +159,9 @@ class Discriminator(nn.Module):
             mode="text", deterministic=deterministic,
         )
 
-        text_len_rec = Dense(cfg.max_text_length, dtype=self.dtype, name="fc_text_len_rec")(feats)
+        text_len_rec = Dense(cfg.text_len_table, dtype=self.dtype, name="fc_text_len_rec")(feats)
         loss_text_len = masked_cross_entropy(
-            text_len_rec, jnp.clip(text_len, 0, cfg.max_text_length - 1), valid
+            text_len_rec, jnp.clip(text_len, 0, cfg.text_len_table - 1), valid
         )
 
         # Background reconstruction (networks_detr.py:261, 349).

@@ -42,6 +42,14 @@ class GeneratorConfig:
     bert_num_decoder_layers: int = 2
     im_f_dim: int = 512
     max_text_length: int = 256
+    # Character-length embedding table size / text_len_rec class count.
+    # The reference ties this to max_text_length (networks_detr.py:103,
+    # 149: nn.Embedding(max_text_length, ...) indexed by raw char length
+    # clipped to max_text_length-1). Decoupled here so the token
+    # dimension T can shrink to the dataset's measured max token length
+    # (--max-text-length auto) without changing the char-length
+    # embedding numerics or head widths; stays 256 for parity.
+    text_len_table: int = 256
     vocab_size: int = 30524
     bos_token_id: int = 30522
     pad_token_id: int = 0
@@ -239,9 +247,9 @@ class Generator(nn.Module):
         text_feat = text_feat.astype(self.dtype)
 
         enc_text_len = self.param(
-            "enc_text_len", nn.initializers.normal(1.0), (cfg.max_text_length, cfg.bert_f_dim), jnp.float32
+            "enc_text_len", nn.initializers.normal(1.0), (cfg.text_len_table, cfg.bert_f_dim), jnp.float32
         )
-        tlf = jnp.take(enc_text_len, jnp.clip(text_len, 0, cfg.max_text_length - 1), axis=0).astype(self.dtype)
+        tlf = jnp.take(enc_text_len, jnp.clip(text_len, 0, cfg.text_len_table - 1), axis=0).astype(self.dtype)
 
         x = jnp.concatenate([zf, lf, text_feat, tlf], axis=-1)
         x = nn.relu(MLP(cfg.bert_f_dim, cfg.hidden_dim, 3, dtype=self.dtype, name="fc_in")(x))
@@ -286,9 +294,9 @@ class Generator(nn.Module):
             mode="text", deterministic=deterministic,
         )
 
-        text_len_rec = Dense(cfg.max_text_length, dtype=self.dtype, name="fc_text_len_rec")(hs)
+        text_len_rec = Dense(cfg.text_len_table, dtype=self.dtype, name="fc_text_len_rec")(hs)
         loss_text_len = masked_cross_entropy(
-            text_len_rec, jnp.clip(text_len, 0, cfg.max_text_length - 1), valid
+            text_len_rec, jnp.clip(text_len, 0, cfg.text_len_table - 1), valid
         )
 
         return bbox_fake, loss_z, logit_cls, loss_lm, loss_text_len

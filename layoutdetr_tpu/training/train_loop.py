@@ -202,7 +202,8 @@ def training_loop(
     is_chief = jax.process_index() == 0
 
     dataset = LayoutDataset(data, background_size=gcfg.background_size,
-                            max_text_length=gcfg.max_text_length)
+                            max_text_length=gcfg.max_text_length,
+                            text_len_clip=gcfg.text_len_table)
     sampler = InfiniteSampler(len(dataset), rank=jax.process_index(),
                               num_replicas=jax.process_count(), seed=random_seed)
     loader = PrefetchLoader(dataset, batch_size // jax.process_count(), sampler)

@@ -402,7 +402,11 @@ def infer_generator_config(sd: Dict[str, np.ndarray]) -> Dict[str, int]:
         out["num_bbox_labels"] = s[0]
     s = shape("enc_text_len.weight")    # (max_text_length, bert_f_dim)
     if s:
+        # The reference ties T and the char-length table to the same
+        # max_text_length (networks_detr.py:103); our config decouples
+        # them (GeneratorConfig.text_len_table) — set both.
         out["max_text_length"] = s[0]
+        out["text_len_table"] = s[0]
     s = shape("fc_text_len_rec.weight")  # (max_text_length, hidden_dim)
     if s:
         out["hidden_dim"] = s[1]

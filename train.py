@@ -78,7 +78,15 @@ def parse_comma_separated_list(s):
 @click.option("--bert-num-decoder-layers", type=click.IntRange(min=1), default=2, show_default=True)
 @click.option("--background-size", type=click.IntRange(min=1), default=256, show_default=True)
 @click.option("--im-f-dim", type=click.IntRange(min=1), default=512, show_default=True)
-@click.option("--max-text-length", type=click.IntRange(min=1), default=256, show_default=True)
+@click.option("--max-text-length", type=str, default="256", show_default=True,
+              help="Token dimension T, or 'auto': bucket T to the dataset's "
+                   "measured max token length (16/32/64/128/256). Numerically "
+                   "exact — masked attention zeroes padding columns and the "
+                   "per-position FFN never mixes positions; the char-length "
+                   "embedding table stays at 256 (GeneratorConfig."
+                   "text_len_table). Ad strings are ~16 tokens, so auto "
+                   "typically cuts the dominant BERT FLOPs ~4-8x vs the "
+                   "reference's padded 256 (docs/BENCH_NOTES.md)")
 @click.option("--backbone", type=click.Choice(["resnet50", "vit"]), default="resnet50",
               show_default=True,
               help="Image backbone (SURVEY §2.5: ViT is the optional alternative "
@@ -150,8 +158,18 @@ def main(**opts):
     # Resolve dataset metadata for num_bbox_labels.
     from layoutdetr_tpu.data.dataset import LayoutDataset
 
+    auto_text_len = str(opts.max_text_length).strip().lower() == "auto"
+    opts.max_text_length = 256 if auto_text_len else int(opts.max_text_length)
+
     probe = LayoutDataset(opts.data, background_size=opts.background_size,
                           max_text_length=opts.max_text_length)
+    if auto_text_len:
+        measured = probe.measured_max_text_tokens()
+        buckets = (16, 32, 64, 128, 256)
+        opts.max_text_length = next((b for b in buckets if b >= measured), 256)
+        trunc = "" if measured <= 256 else f" (longest text is {measured} tokens; truncated like the reference)"
+        print(f"--max-text-length auto: dataset max token length {measured} "
+              f"-> T={opts.max_text_length}{trunc}")
     num_bbox_labels = probe.num_bbox_labels
     dataset_name = probe.name
     num_samples = len(probe)
@@ -244,7 +262,8 @@ def main(**opts):
             print(f"(no {val_path}; evaluating metrics on the training zip)")
             val_path = opts.data
         val_dataset = LayoutDataset(val_path, background_size=opts.background_size,
-                                    max_text_length=opts.max_text_length)
+                                    max_text_length=opts.max_text_length,
+                                    text_len_clip=gcfg.text_len_table)
         import jax as _jax_m
 
         metric_g = Generator(gcfg)
