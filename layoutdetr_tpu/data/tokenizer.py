@@ -56,10 +56,14 @@ class LayoutTokenizer:
                  length_clip: int | None = None):
         self.max_length = max_length
         # Char-length clip bound for the text_len feature. The reference
-        # clips at max_text_length-1 (networks_detr.py:149); when the
-        # token dimension is auto-bucketed below 256 the clip must stay
-        # at the model's text_len_table so the length embedding indexes
-        # are unchanged. Defaults to max_length (reference behavior).
+        # indexes its nn.Embedding(max_text_length) with the RAW
+        # unclipped len(t) (networks_detr.py:149) and would crash on a
+        # >= 256-char string; clipping at table_size-1 here is a
+        # deliberate safety deviation that matches the reference on every
+        # input the reference itself survives. When the token dimension
+        # is auto-bucketed below 256 the clip must stay at the model's
+        # text_len_table so the length-embedding indexes are unchanged.
+        # Defaults to max_length (the reference's table size).
         self.length_clip = max_length if length_clip is None else length_clip
         self.bos_token_id = DEC_ID
         self.pad_token_id = PAD_ID
@@ -142,8 +146,9 @@ class LayoutTokenizer:
             enc = self._encode_one(s)
             ids[i, : len(enc)] = enc
             mask[i, : len(enc)] = 1
-            # Reference uses raw character length as an embedding index
-            # (networks_detr.py:149); clip to table size.
+            # Reference uses the raw unclipped character length as an
+            # embedding index (networks_detr.py:149, OOB for >= table-size
+            # strings); clipping to table size is a safety deviation.
             lens[i] = min(len(s), self.length_clip - 1)
         return ids, mask, lens
 

@@ -131,7 +131,8 @@ class Discriminator(nn.Module):
         xu = nn.relu(MLP(cfg.bert_f_dim, cfg.hidden_dim, 3, dtype=self.dtype, name="enc_fc_in_uncond")(xu))
         xu = TransformerWithTokenEncoder(
             cfg.hidden_dim, nhead=cfg.nhead, dim_feedforward=cfg.dim_feedforward,
-            num_layers=6, dtype=self.dtype, name="enc_transformer_uncond",
+            num_layers=cfg.uncond_encoder_layers, dtype=self.dtype,
+            name="enc_transformer_uncond",
         )(xu, padding_mask, deterministic=deterministic)
         x0_uncond = xu[:, 0, :]
         logit_disc_uncond = Dense(1, dtype=self.dtype, name="fc_out_disc_uncond")(x0_uncond)[..., 0].astype(jnp.float32)
@@ -141,7 +142,8 @@ class Discriminator(nn.Module):
 
         # --- Conditional reconstruction decoder (networks_detr.py:314-349) ---
         feats = _ReconstDecoder(
-            cfg.hidden_dim, nhead=cfg.nhead, dim_feedforward=cfg.dim_feedforward,
+            cfg.hidden_dim, num_layers=cfg.reconst_decoder_layers,
+            nhead=cfg.nhead, dim_feedforward=cfg.dim_feedforward,
             max_bbox=self.max_bbox, dtype=self.dtype, name="dec_transformer",
         )(x0, padding_mask, deterministic)
         bbox_pred = nn.sigmoid(Dense(4, dtype=self.dtype, name="bbox_embed")(feats).astype(jnp.float32))
@@ -173,7 +175,8 @@ class Discriminator(nn.Module):
 
         # --- Unconditional reconstruction decoder (networks_detr.py:352-359) ---
         feats_u = _ReconstDecoder(
-            cfg.hidden_dim, nhead=cfg.nhead, dim_feedforward=cfg.dim_feedforward,
+            cfg.hidden_dim, num_layers=cfg.reconst_decoder_layers,
+            nhead=cfg.nhead, dim_feedforward=cfg.dim_feedforward,
             max_bbox=self.max_bbox, dtype=self.dtype, name="dec_transformer_uncond",
         )(x0_uncond, padding_mask, deterministic)
         bbox_pred_uncond = nn.sigmoid(Dense(4, dtype=self.dtype, name="bbox_embed_uncond")(feats_u).astype(jnp.float32))

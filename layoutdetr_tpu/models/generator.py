@@ -56,16 +56,33 @@ class GeneratorConfig:
     nhead: int = 8
     num_encoder_layers: int = 6
     num_decoder_layers: int = 6
+    # D-side decoder depths, hardcoded 6 in the reference
+    # (networks_detr.py:243,270,277: nn.TransformerEncoder num_layers=6
+    # and TransformerWithToken_layoutganpp num_layers=6). Config knobs
+    # here so tiny test/dryrun configs compile fast; 6 = parity.
+    reconst_decoder_layers: int = 6
+    uncond_encoder_layers: int = 6
     dim_feedforward: int = 2048
     dropout: float = 0.1
     background_size: int = 256
     backbone: str = "resnet50"  # or "vit" (networks_vit alternative)
+    # ResNet stage depths (torchvision resnet50 = (3, 4, 6, 3),
+    # detr_backbone.py:98-114). Shrunk only by tiny test/dryrun configs
+    # — compile-time knob; the topology (4 stages, /32 stride, 2048-ch
+    # layer4) is depth-independent.
+    backbone_stage_sizes: tuple = (3, 4, 6, 3)
     # BERT FFN width (med_config.json intermediate_size; 3072 at width 768).
     bert_intermediate_size: int = 3072
     bert_max_position_embeddings: int = 512
     # Rematerialize BERT layers under autodiff (see BertConfig.remat):
     # makes the fp32 full-dims step fit batch 16 on a single chip.
     remat: bool = False
+
+    def __post_init__(self):
+        # gcfg.json sidecars round-trip tuples as lists; the config must
+        # stay hashable (it keys jit caches).
+        object.__setattr__(self, "backbone_stage_sizes",
+                           tuple(self.backbone_stage_sizes))
 
     def encoder_bert_config(self):
         # hidden_size follows bert_f_dim: the reference requires the text
@@ -101,7 +118,8 @@ def _image_backbone(cfg: "GeneratorConfig", dtype):
         from layoutdetr_tpu.models.vit import VisionTransformer
 
         return VisionTransformer(dtype=dtype, name="backbone")
-    return ResNet50(dtype=dtype, name="backbone")
+    return ResNet50(stage_sizes=tuple(cfg.backbone_stage_sizes),
+                    dtype=dtype, name="backbone")
 
 
 class TextEncoder(nn.Module):
@@ -211,7 +229,10 @@ class Generator(nn.Module):
         z: [B, N, z_dim] noise; bbox_class: [B, N] int; bbox_real: [B, N, 4]
         (unused in the forward path, parity with reference signature);
         text_ids/text_mask: [B, N, T]; text_len: [B, N] int (character
-        lengths, clipped to max_text_length-1); padding_mask: [B, N] bool
+        lengths, clipped to text_len_table-1 — the reference indexes its
+        table with the RAW unclipped len(t), networks_detr.py:149, which
+        is OOB for >= table-size strings; clipping is a deliberate
+        safety deviation); padding_mask: [B, N] bool
         True = padded; background: [B, S, S, 3] ImageNet-normalized.
 
         text_feat: optional precomputed [B, N, bert_f_dim] text CLS

@@ -54,7 +54,11 @@ from layoutdetr_tpu.utils.stats import Collector
 
 def init_models(gcfg: GeneratorConfig, dataset_sample: dict, batch_gpu: int, seed: int = 0,
                 dtype=None):
-    """Build G/D modules and init params from one example batch."""
+    """Build G/D modules and init params from one example batch.
+
+    Returns (g, d, params_g, params_d, example_inputs); example_inputs
+    holds the full kwarg set of a G forward (z/bbox included) so callers
+    can re-trace the modules (module summary, shape checks)."""
     import jax.numpy as jnp
 
     dtype = dtype or jnp.float32
@@ -70,22 +74,21 @@ def init_models(gcfg: GeneratorConfig, dataset_sample: dict, batch_gpu: int, see
     z = np.zeros((batch_gpu, gcfg.max_elements, gcfg.z_dim), np.float32)
     bbox = rep(dataset_sample["bboxes"])
 
-    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-    params_g = g.init(
-        {"params": k1, "dropout": k1, "noise": k1},
+    example = dict(
         z=z, bbox_real=bbox, bbox_class=dummy["labels"], text_ids=dummy["text_ids"],
         text_mask=dummy["text_mask"], text_len=dummy["text_len"],
         padding_mask=dummy["padding_mask"], background=dummy["background"],
-        reconst=True,
     )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    params_g = g.init({"params": k1, "dropout": k1, "noise": k1},
+                      **example, reconst=True)
     params_d = d.init(
         {"params": k2, "dropout": k2, "noise": k2},
-        bbox=bbox, bbox_class=dummy["labels"], text_ids=dummy["text_ids"],
-        text_mask=dummy["text_mask"], text_len=dummy["text_len"],
-        padding_mask=dummy["padding_mask"], background=dummy["background"],
+        **{("bbox" if k == "bbox_real" else k): v
+           for k, v in example.items() if k != "z"},
         reconst=True,
     )
-    return g, d, params_g, params_d
+    return g, d, params_g, params_d, example
 
 
 _SNAPSHOT_JIT_CACHE: dict = {}
@@ -175,9 +178,11 @@ def training_loop(
     init_g: Optional[str] = None,
     init_d: Optional[str] = None,
     metrics_fn: Optional[Callable] = None,
+    metric_ticks: int = 1,
     abort_fn: Optional[Callable] = None,
     progress_fn: Optional[Callable] = None,
     max_steps: Optional[int] = None,
+    module_summary: bool = True,
     dtype=None,
     aug: str = "noaug",
     aug_p: float = 0.2,
@@ -212,8 +217,20 @@ def training_loop(
         print(f"Dataset: {len(dataset)} samples, {dataset.num_bbox_labels} labels")
         print(f"Mesh: {n_dev} devices x {jax.process_count()} processes")
 
-    g, d, params_g, params_d = init_models(gcfg, dataset[0], batch_size // n_dev, random_seed,
-                                           dtype=dtype)
+    g, d, params_g, params_d, example = init_models(
+        gcfg, dataset[0], batch_size // n_dev, random_seed, dtype=dtype)
+    if is_chief and module_summary:
+        # Startup shape/param tables from a full abstract forward — the
+        # reference's de-facto integration test (training_loop.py:149-160
+        # print_module_summary on G and D at rank 0).
+        from layoutdetr_tpu.utils.misc import print_module_summary
+
+        rngs = {k: jax.random.PRNGKey(0) for k in ("params", "dropout", "noise")}
+        print_module_summary(g, **example, reconst=True, rngs=rngs)
+        print_module_summary(
+            d, **{("bbox" if k == "bbox_real" else k): v
+                  for k, v in example.items() if k != "z"},
+            reconst=True, rngs=rngs)
     tx_g = build_optimizer(params_g, lr=glr, reg_interval=g_reg_interval,
                            frozen_substrings=G_FROZEN_SUBSTRINGS)
     tx_d = build_optimizer(params_d, lr=dlr, reg_interval=d_reg_interval,
@@ -346,6 +363,7 @@ def training_loop(
 
     cur_nimg = resume_kimg * 1000
     cur_tick = 0
+    snap_count = 0
     tick_start_nimg = cur_nimg
     tick_start_time = time.time()
     maintenance_time = 0.0
@@ -462,14 +480,31 @@ def training_loop(
         if is_chief and network_snapshot_ticks is not None and (
             done or cur_tick % network_snapshot_ticks == 0
         ):
+            if len(jax.devices()) > 1:
+                # Snapshot-time replica consistency (the SPMD analogue of
+                # the reference's check_ddp_consistency before every
+                # pickle, training_loop.py:402-405): all devices must
+                # hold bitwise-identical replicated params.
+                from layoutdetr_tpu.utils.misc import check_replica_consistency
+
+                check_replica_consistency(
+                    {"G": state.params_g, "D": state.params_d,
+                     "G_ema": state.params_gema})
             snap_path = os.path.join(run_dir, f"network-snapshot-{cur_nimg // 1000:06d}")
             save_checkpoint(snap_path, state)
             # Self-describing checkpoint: the model config rides along so
             # generate.py/evaluate.py reconstruct the right architecture.
             with open(snap_path + ".gcfg.json", "w") as f:
                 json.dump(dataclasses.asdict(gcfg), f)
-            if metrics_fn is not None:
+            # Metric eval is synchronous with training (same single chip
+            # as the reference's same flaw, training_loop.py:413-427);
+            # metric_ticks > 1 runs it on every Nth snapshot only so a
+            # perf/stability run isn't serialized behind long FID passes.
+            if metrics_fn is not None and (
+                done or snap_count % metric_ticks == 0
+            ):
                 metrics_fn(state, snap_path, cur_nimg)
+            snap_count += 1
 
         cur_tick += 1
         tick_start_nimg = cur_nimg

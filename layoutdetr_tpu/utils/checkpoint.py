@@ -86,6 +86,18 @@ def load_generator_checkpoint(ckpt: str, **gcfg_defaults):
     if os.path.exists(ckpt + ".gcfg.json"):
         with open(ckpt + ".gcfg.json") as f:
             kwargs.update(json.load(f))
+    if "text_len_table" not in kwargs:
+        # Pre-decoupling sidecars lack text_len_table. The stored
+        # enc_text_len table is authoritative: a checkpoint trained with
+        # an explicit --max-text-length N carries an (N, f) table (the
+        # reference tie, networks_detr.py:103), and defaulting to 256
+        # would gather out of bounds / widen fc_text_len_rec silently.
+        try:
+            tree = params.get("params", params)
+            kwargs["text_len_table"] = int(tree["enc_text_len"].shape[0])
+        except Exception:
+            kwargs["text_len_table"] = kwargs.get(
+                "max_text_length", GeneratorConfig.max_text_length)
     return params, GeneratorConfig(**kwargs)
 
 

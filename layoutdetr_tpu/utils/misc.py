@@ -27,10 +27,15 @@ def assert_shape(x, ref_shape: Sequence[Optional[int]]) -> None:
             raise AssertionError(f"Wrong size for dimension {idx}: got {size}, expected {ref_size}")
 
 
-def print_module_summary(module, *args, **kwargs) -> str:
-    """Parameter/shape table from a full forward (misc.py:199-267)."""
+def print_module_summary(module, *args, rngs=None, **kwargs) -> str:
+    """Parameter/shape table from a full forward (misc.py:199-267).
+
+    ``rngs``: optional dict of rng streams (e.g. {"params", "dropout",
+    "noise"}) for modules whose forward consumes more than the default
+    params stream. Abstract (eval_shape) tracing — no compile, no
+    device execution."""
     table = module.tabulate(
-        jax.random.PRNGKey(0), *args,
+        rngs if rngs is not None else jax.random.PRNGKey(0), *args,
         console_kwargs={"width": 120}, depth=2, **kwargs,
     )
     print(table)
@@ -39,9 +44,16 @@ def print_module_summary(module, *args, **kwargs) -> str:
 
 def check_replica_consistency(tree) -> None:
     """Assert all device replicas of a replicated pytree are identical
-    (the SPMD analogue of misc.py:183-194 check_ddp_consistency)."""
+    (the SPMD analogue of misc.py:183-194 check_ddp_consistency).
+
+    Leaves that are deliberately sharded (tensor-parallel params on a
+    'model' axis) hold different slices per device and are skipped —
+    only fully-replicated leaves carry the replica invariant."""
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         if not hasattr(leaf, "addressable_shards"):
+            continue
+        sharding = getattr(leaf, "sharding", None)
+        if sharding is not None and not sharding.is_fully_replicated:
             continue
         shards = leaf.addressable_shards
         if len(shards) <= 1:

@@ -17,18 +17,19 @@ def test_bench_smoke_json_contract():
     env["PALLAS_AXON_POOL_IPS"] = ""  # sitecustomize: don't pin the TPU plugin
     out = subprocess.run(
         [sys.executable, os.path.join(REPO_ROOT, "bench.py"), "--smoke"],
-        cwd=REPO_ROOT, env=env, capture_output=True, text=True, timeout=900,
+        cwd=REPO_ROOT, env=env, capture_output=True, text=True, timeout=1800,
     )
     assert out.returncode == 0, (out.stdout[-500:], out.stderr[-2000:])
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
     assert len(lines) == 1, f"stdout must be ONE JSON line, got: {lines}"
     rec = json.loads(lines[0])
     for key in ("metric", "value", "unit", "vs_baseline",
-                "value_sustained", "value_burst"):
+                "baseline_source", "value_sustained", "value_burst"):
         assert key in rec, f"missing key {key}"
     assert rec["metric"] == "gan_train_step_throughput"
     assert rec["unit"] == "imgs/sec/chip"
     assert rec["value"] == rec["value_sustained"]  # sustained is the headline
+    assert rec["baseline_source"] in ("derived", "persisted", "fallback")
     assert rec["value"] > 0
 
 
@@ -40,7 +41,7 @@ def test_bench_infer_smoke_json_contract():
     env["PALLAS_AXON_POOL_IPS"] = ""
     out = subprocess.run(
         [sys.executable, os.path.join(REPO_ROOT, "bench.py"), "--smoke", "--infer"],
-        cwd=REPO_ROOT, env=env, capture_output=True, text=True, timeout=900,
+        cwd=REPO_ROOT, env=env, capture_output=True, text=True, timeout=1800,
     )
     assert out.returncode == 0, (out.stdout[-500:], out.stderr[-2000:])
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]

@@ -109,6 +109,33 @@ def test_two_process_mesh_and_stats(tmp_path):
         assert f"proc {i} OK" in out
 
 
+def test_check_replica_consistency():
+    """Snapshot-time replica check (reference check_ddp_consistency,
+    training_loop.py:402-405): identical replicas pass, a divergent
+    replica raises, deliberately-sharded leaves are skipped."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from layoutdetr_tpu.utils.misc import check_replica_consistency
+
+    devs = jax.devices()[:2]
+    mesh = Mesh(np.array(devs), ("data",))
+    replicated = NamedSharding(mesh, P())
+
+    good = jax.device_put(np.arange(8.0), replicated)
+    check_replica_consistency({"w": good})
+
+    bad = jax.make_array_from_single_device_arrays(
+        (8,), replicated,
+        [jax.device_put(np.full(8, float(i)), d) for i, d in enumerate(devs)])
+    with pytest.raises(AssertionError, match="Replica mismatch"):
+        check_replica_consistency({"w": bad})
+
+    # A tensor-parallel (sharded) leaf holds different slices by design.
+    sharded = jax.device_put(np.arange(8.0), NamedSharding(mesh, P("data")))
+    check_replica_consistency({"w": sharded})
+
+
 def test_tensor_parallel_mesh_step():
     """2-D (data, model) mesh: TP param shardings (Megatron column/row
     layout over the BERT + transformer-FFN kernels) compile and run one

@@ -1,12 +1,16 @@
-"""--max-text-length auto: shrinking the token dimension T is exact.
+"""--max-text-length auto: shrinking the token dimension T is
+equivalent up to float reassociation.
 
 The claim (docs/BENCH_NOTES.md "next lever"): with the char-length
 embedding table decoupled (GeneratorConfig.text_len_table), any T that
-covers every real token is numerically EXACT — the additive -10000.0
-key mask (models/bert.py NEG_MASK) underflows to exp(...)=0.0 in fp32,
-so padded key columns contribute exact zeros to every softmax, and the
-per-position FFN never mixes positions. These tests run the SAME params
-through the T=16 and T=8 graphs and require bit-identical outputs.
+covers every real token is EXACT IN EXACT ARITHMETIC — the additive
+-10000.0 key mask (models/bert.py NEG_MASK) underflows to exp(...)=0.0
+in fp32, so padded key columns contribute exact zeros to every softmax,
+and the per-position FFN never mixes positions. In floating point,
+different-T graphs reassociate/tile reductions differently (XLA picks
+shape-dependent schedules), so outputs drift slightly (observed ~2e-7
+max-abs / ~7e-6 max-rel). These tests run the SAME params through the
+T=16 and T=8 graphs and require allclose to a tight tolerance.
 
 Reference tie being decoupled: networks_detr.py:103,149 sizes the
 nn.Embedding(max_text_length, ...) char-length table and its clip with
@@ -49,7 +53,7 @@ def _sliced(batch, t):
     return out
 
 
-def test_generator_t_bucket_bit_exact():
+def test_generator_t_bucket_equivalent():
     cfg_big = dataclasses.replace(TINY, max_text_length=T_BIG, text_len_table=T_BIG)
     cfg_small = dataclasses.replace(cfg_big, max_text_length=T_SMALL)
     batch = _bucketed_batch()
@@ -63,11 +67,14 @@ def test_generator_t_bucket_bit_exact():
 
     names = ("bbox", "loss_z", "logit_cls", "loss_lm", "loss_text_len")
     for name, a, b in zip(names, out_big, out_small):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
-                                      err_msg=f"generator {name} not bit-exact")
+        # Not assert_array_equal: reductions reassociate across T
+        # (module docstring) — a few ULP of drift is expected.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"generator {name} diverged")
 
 
-def test_discriminator_t_bucket_bit_exact():
+def test_discriminator_t_bucket_equivalent():
     cfg_big = dataclasses.replace(TINY, max_text_length=T_BIG, text_len_table=T_BIG)
     cfg_small = dataclasses.replace(cfg_big, max_text_length=T_SMALL)
     batch = _bucketed_batch()
@@ -80,8 +87,9 @@ def test_discriminator_t_bucket_bit_exact():
     out_small = d_small.apply(params, **_sliced(kwargs, T_SMALL), reconst=True)
 
     for i, (a, b) in enumerate(zip(out_big, out_small)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
-                                      err_msg=f"discriminator output {i} not bit-exact")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"discriminator output {i} diverged")
 
 
 def test_tokenizer_length_clip_decoupled():
@@ -95,6 +103,41 @@ def test_tokenizer_length_clip_decoupled():
     tok_ref = LayoutTokenizer(max_length=256)
     _, _, lens_ref = tok_ref.encode_batch([long_text])
     assert lens[0] == lens_ref[0]
+
+
+def test_legacy_checkpoint_infers_text_len_table(tmp_path):
+    """Pre-decoupling orbax checkpoints (sidecar without text_len_table,
+    trained with explicit --max-text-length N != 256) must load with the
+    table sized from the stored enc_text_len weight, not the 256 default
+    (ADVICE r3: a 256-wide config would gather OOB into the (N, f) table
+    and mis-size fc_text_len_rec)."""
+    import json
+
+    from layoutdetr_tpu.utils.checkpoint import (
+        load_generator_checkpoint, save_checkpoint)
+
+    n_table = 32
+    cfg = dataclasses.replace(TINY, max_text_length=n_table,
+                              text_len_table=n_table)
+    batch = tiny_batch(t=8)
+    g = Generator(cfg)
+    params = g.init(jax.random.PRNGKey(0), **batch, reconst=True)
+    assert params["params"]["enc_text_len"].shape[0] == n_table
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, params)
+    # Legacy sidecar: every field EXCEPT text_len_table.
+    sidecar = {k: v for k, v in dataclasses.asdict(cfg).items()
+               if k != "text_len_table"}
+    with open(path + ".gcfg.json", "w") as f:
+        json.dump(sidecar, f)
+
+    loaded, gcfg = load_generator_checkpoint(path)
+    assert gcfg.text_len_table == n_table
+    assert gcfg.max_text_length == n_table
+    # And the loaded params must actually run through the rebuilt config.
+    out = Generator(gcfg).apply(loaded, **batch)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_measured_max_text_tokens(tmp_path):

@@ -29,3 +29,7 @@ def test_training_loop_grad_accum_ada_and_resume(tmp_path):
     )
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-4000:])
     assert "TRAIN_LOOP_E2E OK" in out.stdout
+    # Startup module summaries (reference training_loop.py:149-160) must
+    # appear in the chief's log.
+    assert "Generator Summary" in out.stdout
+    assert "Discriminator Summary" in out.stdout

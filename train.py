@@ -24,6 +24,20 @@ from layoutdetr_tpu.models.generator import GeneratorConfig
 from layoutdetr_tpu.training.loss import LossWeights
 
 
+def _validate_max_text_length(ctx, param, value):
+    """'auto' or a positive int (clean click usage error otherwise)."""
+    s = str(value).strip()
+    if s.lower() == "auto":
+        return s
+    try:
+        n = int(s)
+    except ValueError:
+        raise click.BadParameter("must be 'auto' or a positive integer")
+    if n < 1:
+        raise click.BadParameter("must be 'auto' or a positive integer")
+    return str(n)
+
+
 def parse_comma_separated_list(s):
     if s is None or s.lower() == "none" or s == "":
         return []
@@ -79,11 +93,14 @@ def parse_comma_separated_list(s):
 @click.option("--background-size", type=click.IntRange(min=1), default=256, show_default=True)
 @click.option("--im-f-dim", type=click.IntRange(min=1), default=512, show_default=True)
 @click.option("--max-text-length", type=str, default="256", show_default=True,
+              callback=_validate_max_text_length,
               help="Token dimension T, or 'auto': bucket T to the dataset's "
-                   "measured max token length (16/32/64/128/256). Numerically "
-                   "exact — masked attention zeroes padding columns and the "
-                   "per-position FFN never mixes positions; the char-length "
-                   "embedding table stays at 256 (GeneratorConfig."
+                   "measured max token length (16/32/64/128/256). Equivalent "
+                   "up to float reassociation — masked attention zeroes "
+                   "padding columns and the per-position FFN never mixes "
+                   "positions (exact in exact arithmetic; different-T graphs "
+                   "reassociate reductions, observed <=1e-7); the char-length "
+                   "embedding table stays at 256 under auto (GeneratorConfig."
                    "text_len_table). Ad strings are ~16 tokens, so auto "
                    "typically cuts the dominant BERT FLOPs ~4-8x vs the "
                    "reference's padded 256 (docs/BENCH_NOTES.md)")
@@ -94,6 +111,12 @@ def parse_comma_separated_list(s):
 # Misc settings.
 @click.option("--desc", type=str)
 @click.option("--metrics", type=parse_comma_separated_list, default="layout_fid50k_val", show_default=True)
+@click.option("--metric-ticks", type=click.IntRange(min=1), default=1, show_default=True,
+              help="Run metrics on every Nth network snapshot only. Metric "
+                   "eval shares the chip with training (synchronous, like the "
+                   "reference training_loop.py:413-427); raise this — or set "
+                   "--metrics none — to keep long FID passes from serializing "
+                   "perf/stability runs")
 @click.option("--layoutnet-ckpt", type=str, default=None,
               help="Converted LayoutNet checkpoint for reference-scale layout-FID "
                    "(metrics/metric_layoutnet.py:26-63); random features otherwise")
@@ -184,6 +207,10 @@ def main(**opts):
         im_f_dim=opts.im_f_dim,
         background_size=opts.background_size,
         max_text_length=opts.max_text_length,
+        # Reference tie (networks_detr.py:103,149): an EXPLICIT
+        # --max-text-length N sizes the char-length table to N too.
+        # Only 'auto' decouples them (table stays 256 while T shrinks).
+        text_len_table=256 if auto_text_len else opts.max_text_length,
         backbone=opts.backbone,
         remat=(not opts.use_bf16) if opts.remat is None else opts.remat,
     )
@@ -337,6 +364,7 @@ def main(**opts):
             ada_kimg=500.0,
             n_devices=opts.chips,
             metrics_fn=metrics_fn,
+            metric_ticks=opts.metric_ticks,
         )
     finally:
         logger.close()
