@@ -217,6 +217,17 @@ def main():
     parser.add_argument("--infer", action="store_true",
                         help="bench the generator forward (inference/serving "
                              "path) instead of the full train step")
+    # A/B knobs for the optimizations the default path turns on — flip
+    # one at a time to attribute wins (docs/BENCH_NOTES.md round-4 table).
+    parser.add_argument("--no-flash", action="store_true",
+                        help="disable the fused Pallas flash-attention path "
+                             "in the hoisted text-encoder pass (XLA attention)")
+    parser.add_argument("--no-ema-freeze", action="store_true",
+                        help="EMA sweeps the full param tree incl. frozen "
+                             "subtrees (the pre-round-3 behavior)")
+    parser.add_argument("--no-share-text-encoder", action="store_true",
+                        help="run G's and D's frozen text encoders separately "
+                             "(the reference's per-module behavior)")
     args = parser.parse_args()
 
     import jax
@@ -295,16 +306,28 @@ def main():
         # (training_loop.py:282-283).
         make_train_step(g.apply, d.apply, tx_g, tx_d, batch_size=b,
                         z_dim=gcfg.z_dim, max_elements=gcfg.max_elements,
-                        text_feature_fn=make_text_feature_fn(gcfg, dtype),
-                        share_text_encoder=True,
-                        ema_freeze_labels=freeze_mask(params_g, G_FROZEN_SUBSTRINGS)),
+                        text_feature_fn=make_text_feature_fn(
+                            gcfg, dtype,
+                            flash=False if args.no_flash else None),
+                        share_text_encoder=not args.no_share_text_encoder,
+                        ema_freeze_labels=(
+                            None if args.no_ema_freeze
+                            else freeze_mask(params_g, G_FROZEN_SUBSTRINGS))),
         donate_argnums=(0,),
     )
 
     rng = jax.random.PRNGKey(1)
     compiled, flops_per_step = _compile_step(step, state, batch, rng)
+    # A/B variants produce different graphs (and different FLOPs — e.g.
+    # --no-share-text-encoder adds a whole encoder pass), so they key
+    # their persisted derivations separately from the default path.
+    variant = "".join(
+        tag for tag, on in ((":noflash", args.no_flash),
+                            (":noemafreeze", args.no_ema_freeze),
+                            (":noshare", args.no_share_text_encoder)) if on)
     flops_per_step, flops_source = _resolve_flops(
-        flops_per_step, f"train:b{b}:t{t}:{'fp32' if dtype == jnp.float32 else 'bf16'}")
+        flops_per_step,
+        f"train:b{b}:t{t}:{'fp32' if dtype == jnp.float32 else 'bf16'}{variant}")
     run = compiled if compiled is not None else step
     for i in range(args.warmup):
         rng, sk = jax.random.split(rng)

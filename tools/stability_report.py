@@ -118,9 +118,111 @@ def report(run_dir, markdown=False):
                 print(f"  {rk:<32} {traj}")
 
 
+def _metric_series(run_dir):
+    """{metric_key: [(kimg, value)]} from every metric-*.jsonl."""
+    out = {}
+    for mpath in sorted(glob.glob(os.path.join(run_dir, "metric-*.jsonl"))):
+        for r in _load_jsonl(mpath):
+            res = r.get("results", r)
+            kimg = r.get("snapshot_kimg", r.get("kimg"))
+            if kimg is None and r.get("snapshot_path"):
+                digits = "".join(c for c in os.path.basename(
+                    str(r["snapshot_path"])) if c.isdigit())
+                kimg = int(digits) if digits else None
+            if kimg is None or not isinstance(res, dict):
+                continue
+            for rk, rv in res.items():
+                if isinstance(rv, (int, float)) and math.isfinite(rv):
+                    out.setdefault(rk, []).append((float(kimg), float(rv)))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+# Validated categorical palette (dataviz reference instance, light mode).
+_BLUE, _ORANGE, _AQUA = "#2a78d6", "#eb6834", "#1baf7a"
+_SURFACE, _INK, _INK2 = "#fcfcfb", "#0b0b0b", "#52514e"
+
+
+def plot(run_dir, out_png):
+    """Small-multiple curves (one series per panel; the adversarial-
+    balance panel carries a legend) + sec/kimg distribution + metric
+    trajectories — the evidence the reference surfaces as TensorBoard
+    curves over its 25,000-kimg runs (training_loop.py:445-452)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = _load_jsonl(os.path.join(run_dir, "stats.jsonl"))
+    series = _series(rows)
+    metrics = _metric_series(run_dir)
+    sec_per_kimg = [r["sec_per_kimg"] for r in rows[1:] if "sec_per_kimg" in r]
+
+    adv = [("Loss/D/loss_Dreal", "D real", _BLUE),
+           ("Loss/D/loss_Dgen", "D gen", _ORANGE),
+           ("Loss/G/loss_gen", "G adv", _AQUA)]
+    solo_keys = [k for k in sorted(series)
+                 if k.startswith("Loss/") and k not in {a[0] for a in adv}
+                 and len(series[k]) >= 2]
+    panels = (1 + len(solo_keys) + (1 if sec_per_kimg else 0)
+              + len(metrics))
+    ncols = 3
+    nrowp = (panels + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrowp, ncols, figsize=(4.2 * ncols, 2.9 * nrowp),
+                             facecolor=_SURFACE)
+    axes = [ax for row in (axes if nrowp > 1 else [axes]) for ax in row]
+
+    def style(ax, title):
+        ax.set_facecolor(_SURFACE)
+        ax.set_title(title, fontsize=9, color=_INK, loc="left")
+        ax.tick_params(labelsize=7, colors=_INK2)
+        ax.grid(True, color="#e4e3de", linewidth=0.6)
+        ax.set_axisbelow(True)
+        for s in ax.spines.values():
+            s.set_visible(False)
+
+    i = 0
+    ax = axes[i]; i += 1
+    for key, label, color in adv:
+        if key in series:
+            xs, ys = zip(*series[key])
+            ax.plot(xs, ys, color=color, linewidth=1.8, label=label)
+    ax.legend(fontsize=7, frameon=False, labelcolor=_INK2)
+    style(ax, "adversarial balance (vs kimg)")
+
+    for k in solo_keys:
+        ax = axes[i]; i += 1
+        xs, ys = zip(*series[k])
+        ax.plot(xs, ys, color=_BLUE, linewidth=1.8)
+        style(ax, k)
+
+    if sec_per_kimg:
+        ax = axes[i]; i += 1
+        ax.hist(sec_per_kimg, bins=min(20, max(5, len(sec_per_kimg) // 4)),
+                color=_BLUE, edgecolor=_SURFACE, linewidth=2)
+        style(ax, "sec/kimg distribution (post-compile ticks)")
+
+    for mk, pts in metrics.items():
+        ax = axes[i]; i += 1
+        xs, ys = zip(*pts)
+        ax.plot(xs, ys, color=_BLUE, linewidth=1.8, marker="o", markersize=4)
+        style(ax, f"{mk} (vs kimg)")
+
+    for ax in axes[i:]:
+        ax.set_visible(False)
+    fig.suptitle(f"stability run: {os.path.basename(os.path.abspath(run_dir))}",
+                 fontsize=11, color=_INK, x=0.01, ha="left")
+    fig.tight_layout(rect=(0, 0, 1, 0.97))
+    fig.savefig(out_png, dpi=140, facecolor=_SURFACE)
+    print(f"wrote {out_png} ({panels} panels)")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dir")
     ap.add_argument("--markdown", action="store_true")
+    ap.add_argument("--plot", metavar="OUT_PNG", default=None,
+                    help="write loss/metric/sec-per-kimg curve panels as PNG")
     a = ap.parse_args()
     report(a.run_dir, markdown=a.markdown)
+    if a.plot:
+        plot(a.run_dir, a.plot)
