@@ -88,6 +88,17 @@ def _save_flops(key, flops):
         pass
 
 
+# Coarse phase timing to stderr: when a driver window times out, this
+# shows which phase ate it (import / backend / init / compile / steps)
+# — round 3+4 timeouts were otherwise opaque.
+_T0 = time.perf_counter()
+
+
+def mark(phase):
+    print(f"[bench] t+{time.perf_counter() - _T0:.0f}s {phase}",
+          file=sys.stderr, flush=True)
+
+
 def _compile_step(step, *args):
     """AOT-compile a jitted fn once; return (compiled_or_None, flops_or_None).
 
@@ -142,12 +153,14 @@ def _bench_infer(args, g, params_g, batch, batch_np, b):
     compiled, flops = _compile_step(fwd, params_g, z, batch)
     flops, flops_source = _resolve_flops(
         flops, f"infer:b{b}:t{batch['text_ids'].shape[-1]}")
+    mark(f"infer fwd compiled (flops source: {flops_source})")
     run = compiled if compiled is not None else fwd
 
     out = run(params_g, z, batch)  # first call (already compiled on the AOT path)
     for _ in range(args.warmup):
         out = run(params_g, z, batch)
     jax.block_until_ready(out)
+    mark("warmup done")
 
     def timed(n_steps):
         t0 = time.perf_counter()
@@ -234,10 +247,12 @@ def main():
 
     from __graft_entry__ import _enable_comp_cache, _example_batch
 
+    mark("imports done")
     if not args.smoke:
         from layoutdetr_tpu.utils.backend_wait import wait_for_backend
 
         wait_for_backend()  # ride out transient TPU-tunnel outages
+        mark(f"backend ready ({jax.default_backend()})")
     _enable_comp_cache()  # TPU only; CPU AOT reloads are unsafe on this host
     from layoutdetr_tpu.models.discriminator import Discriminator
     from layoutdetr_tpu.models.generator import Generator, GeneratorConfig
@@ -288,11 +303,13 @@ def main():
     )
     params_g = g.init({"params": key, "dropout": key, "noise": key},
                       z=batch_np["z"][:1], bbox_real=batch["bboxes"][:1], **init_kwargs)
+    mark("G params initialized")
     if args.infer:
         return _bench_infer(args, g, params_g, batch, batch_np, b)
     d = Discriminator(gcfg, dtype=dtype)
     params_d = d.init({"params": key, "dropout": key, "noise": key},
                       bbox=batch["bboxes"][:1], **init_kwargs)
+    mark("D params initialized")
     tx_g = build_optimizer(params_g, reg_interval=4, frozen_substrings=G_FROZEN_SUBSTRINGS)
     tx_d = build_optimizer(params_d, reg_interval=16, frozen_substrings=D_FROZEN_SUBSTRINGS)
     state = GANTrainState.create(params_g, params_d, tx_g, tx_d)
@@ -328,11 +345,13 @@ def main():
     flops_per_step, flops_source = _resolve_flops(
         flops_per_step,
         f"train:b{b}:t{t}:{'fp32' if dtype == jnp.float32 else 'bf16'}{variant}")
+    mark(f"step compiled (flops source: {flops_source})")
     run = compiled if compiled is not None else step
     for i in range(args.warmup):
         rng, sk = jax.random.split(rng)
         state, stats = run(state, batch, sk)
     jax.block_until_ready(state.params_g)
+    mark("warmup done")
 
     def timed_window(state, rng, n_steps):
         t0 = time.perf_counter()
