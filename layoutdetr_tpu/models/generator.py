@@ -44,12 +44,15 @@ class GeneratorConfig:
     max_text_length: int = 256
     # Character-length embedding table size / text_len_rec class count.
     # The reference ties this to max_text_length (networks_detr.py:103,
-    # 149: nn.Embedding(max_text_length, ...) indexed by raw char length
-    # clipped to max_text_length-1). Decoupled here so the token
-    # dimension T can shrink to the dataset's measured max token length
-    # (--max-text-length auto) without changing the char-length
-    # embedding numerics or head widths; stays 256 for parity.
-    text_len_table: int = 256
+    # 149: nn.Embedding(max_text_length, ...) indexed by raw char
+    # length — unclipped there, so >= max_text_length-char strings are
+    # OOB; we clip). Decoupled here so the token dimension T can shrink
+    # to the dataset's measured max token length (--max-text-length
+    # auto, which passes text_len_table=256 explicitly) without changing
+    # the char-length embedding numerics or head widths. Default None =
+    # the reference tie (table size max_text_length), so directly
+    # constructed configs match reference checkpoints at any T.
+    text_len_table: Optional[int] = None
     vocab_size: int = 30524
     bos_token_id: int = 30522
     pad_token_id: int = 0
@@ -83,6 +86,10 @@ class GeneratorConfig:
         # stay hashable (it keys jit caches).
         object.__setattr__(self, "backbone_stage_sizes",
                            tuple(self.backbone_stage_sizes))
+        if self.text_len_table is None:
+            # Reference tie: the char-length table is sized by
+            # max_text_length (networks_detr.py:103).
+            object.__setattr__(self, "text_len_table", self.max_text_length)
 
     def encoder_bert_config(self):
         # hidden_size follows bert_f_dim: the reference requires the text
