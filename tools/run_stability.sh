@@ -27,6 +27,7 @@ export HF_HUB_OFFLINE=1 TRANSFORMERS_OFFLINE=1
 KIMG="${STAB_KIMG:-200}"
 MAX_HOURS="${STAB_MAX_HOURS:-6}"
 METRIC_TICKS="${STAB_METRIC_TICKS:-2}"
+SNAP="${STAB_SNAP:-25}"   # ticks (=kimg at --tick 1) between snapshots
 
 mkdir -p runs_stability/data
 if [ ! -f runs_stability/data/train.zip ]; then
@@ -51,7 +52,7 @@ exec timeout --signal=TERM "$((MAX_HOURS * 3600))" python train.py \
   --outdir runs_stability \
   --data runs_stability/data/train.zip \
   --batch 16 --bf16 \
-  --kimg "$KIMG" --tick 1 --snap 25 \
+  --kimg "$KIMG" --tick 1 --snap "$SNAP" \
   --metric-ticks "$METRIC_TICKS" \
   --aug ada \
   --metrics layout_fid50k_val,overlap50k_alignment50k_layoutwise_iou50k_layoutwise_docsim50k_val \
