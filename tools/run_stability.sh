@@ -47,8 +47,9 @@ if [ -n "${STAB_RESUME:-}" ]; then
   RESUME_ARGS=(--resume "$STAB_RESUME" --resume-kimg "${KIMG_DONE:-0}")
 fi
 
+MAX_SECS="$(awk -v h="$MAX_HOURS" 'BEGIN{printf "%d", h*3600}')"  # fractional hours OK
 echo $$ > /tmp/stab_train.pid  # exec below keeps this pid for train.py
-exec timeout --signal=TERM "$((MAX_HOURS * 3600))" python train.py \
+exec timeout --signal=TERM "$MAX_SECS" python train.py \
   --outdir runs_stability \
   --data runs_stability/data/train.zip \
   --batch 16 --bf16 \
