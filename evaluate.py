@@ -25,7 +25,13 @@ def parse_comma_separated_list(s):
 
 
 @click.command()
-@click.option("--ckpt", required=True, help="Checkpoint: orbax directory or reference snapshot .pkl")
+@click.option("--ckpt", required=True,
+              help="Checkpoint: orbax directory or reference snapshot .pkl. "
+                   "Comma-separated paths or a glob sweep a whole run's "
+                   "snapshots through one process (one generator trace, "
+                   "one device upload per snapshot) — the metric-vs-kimg "
+                   "curve the reference only gets by re-running training "
+                   "(evaluate.py:121-189 reuses the train loop per ckpt)")
 @click.option("--data", required=True, help="Validation zip")
 @click.option("--metrics", type=parse_comma_separated_list,
               default="layout_fid50k_val,overlap50k_alignment50k_layoutwise_iou50k_layoutwise_docsim50k_val",
@@ -54,6 +60,15 @@ def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
     enable_stack_dumps()
     enable_compile_cache()
 
+    import glob as _glob
+
+    ckpts = []
+    for c in ckpt.split(","):
+        hits = sorted(p for p in _glob.glob(c)
+                      if not p.endswith(".gcfg.json") and "-tmp" not in p)
+        ckpts.extend(hits or [c])
+    ckpt = ckpts[0]
+
     dataset = LayoutDataset(data, background_size=background_size,
                             max_text_length=max_text_length)
     dataset.tokenizer.require_hf_for_checkpoint(ckpt)
@@ -79,19 +94,32 @@ def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
     import jax
 
     g_apply = jax.jit(g.apply)
-    params = jax.device_put(params)
 
     for metric in metrics:
         if not metric_main.is_valid_metric(metric):
             raise click.ClickException(
                 f"unknown metric {metric}; valid: {metric_main.list_valid_metrics()}")
-        result = metric_main.calc_metric(
-            metric,
-            g_apply=g_apply, params=params, dataset=dataset, gcfg=gcfg,
-            layoutnet_params=layoutnet_params, inception_params=inception_ckpt or None,
-            batch=batch_size, seed=seed, max_items=max_items,
-        )
-        metric_main.report_metric(result, run_dir=run_dir, snapshot_path=ckpt)
+
+    for i, c in enumerate(ckpts):
+        if i > 0:  # first snapshot's params were loaded above (they set gcfg)
+            params, gcfg_i = load_generator_checkpoint(
+                c, num_bbox_labels=dataset.num_bbox_labels,
+                background_size=background_size,
+                max_text_length=gcfg.max_text_length)
+            if gcfg_i != gcfg:
+                raise click.ClickException(
+                    f"{c} was trained with a different architecture than "
+                    f"{ckpts[0]}; sweep snapshots of one run only")
+        params = jax.device_put(params)
+        for metric in metrics:
+            result = metric_main.calc_metric(
+                metric,
+                g_apply=g_apply, params=params, dataset=dataset, gcfg=gcfg,
+                layoutnet_params=layoutnet_params,
+                inception_params=inception_ckpt or None,
+                batch=batch_size, seed=seed, max_items=max_items,
+            )
+            metric_main.report_metric(result, run_dir=run_dir, snapshot_path=c)
 
 
 if __name__ == "__main__":

@@ -102,6 +102,34 @@ def main(tmp_dir: str) -> None:
     gap = tree_dist(state2.params_g, e0)
     assert moved < 0.1 * gap, (
         f"EMA re-ramped on resume: moved {moved:.3e} of gap {gap:.3e}")
+
+    # Graceful preemption (train.py's SIGTERM -> abort_fn wiring): when
+    # abort_fn flips True mid-run, the loop must finish the tick, write
+    # a final snapshot despite total_kimg being nowhere near reached,
+    # and return cleanly — the reference declares this hook but never
+    # supplies it (training_loop.py:95-96).
+    ticks_seen = {"n": 0}
+
+    def abort_fn():
+        ticks_seen["n"] += 1
+        return ticks_seen["n"] >= 2
+
+    run_dir3 = os.path.join(tmp_dir, "run3")
+    os.makedirs(run_dir3, exist_ok=True)
+    state3 = training_loop(
+        run_dir=run_dir3, data=zip_path, gcfg=TINY, batch_size=batch,
+        batch_gpu=1, total_kimg=1000, kimg_per_tick=1,
+        network_snapshot_ticks=10_000, image_snapshot_ticks=None,
+        abort_fn=abort_fn,
+    )
+    assert int(np.asarray(state3.step)) < 1000, "abort_fn ignored"
+    # The tick-0 snapshot always exists; the abort must add a LATER one
+    # (done-path snapshot at the abort tick's nimg).
+    snaps3 = sorted(f for f in os.listdir(run_dir3)
+                    if f.startswith("network-snapshot-")
+                    and not f.endswith(".json"))
+    assert snaps3 and snaps3[-1] != "network-snapshot-000000", (
+        f"aborted run wrote no final snapshot: {snaps3}")
     print("TRAIN_LOOP_E2E OK")
 
 

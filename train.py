@@ -331,6 +331,29 @@ def main(**opts):
 
     enable_stack_dumps()
 
+    # Graceful preemption: SIGTERM (TPU-pod preemption notice, `timeout`,
+    # tools/stop_stability.sh) finishes the current tick, writes a final
+    # snapshot + metrics, and exits cleanly instead of dying mid-step.
+    # The reference declares abort_fn/progress_fn hooks but no entry
+    # point supplies them (training_loop.py:95-96); here the flag feeds
+    # the loop's abort_fn seam. A second SIGTERM kills immediately.
+    # Multi-host: the flag is per-process; cluster preemption TERMs every
+    # host and ticks are synchronous, so hosts abort on the same tick as
+    # long as signals land within one tick of each other.
+    import signal as _signal
+
+    _term = {"requested": False}
+
+    def _on_term(signum, frame):
+        if _term["requested"]:  # impatient second signal: default action
+            _signal.signal(_signal.SIGTERM, _signal.SIG_DFL)
+            os.kill(os.getpid(), _signal.SIGTERM)
+        _term["requested"] = True
+        print("\nSIGTERM: finishing tick, snapshotting, then exiting "
+              "(send again to kill now)", flush=True)
+
+    _signal.signal(_signal.SIGTERM, _on_term)
+
     logger = Logger(os.path.join(run_dir, "log.txt"))
     try:
         training_loop(
@@ -365,6 +388,7 @@ def main(**opts):
             n_devices=opts.chips,
             metrics_fn=metrics_fn,
             metric_ticks=opts.metric_ticks,
+            abort_fn=lambda: _term["requested"],
         )
     finally:
         logger.close()
