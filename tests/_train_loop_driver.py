@@ -118,18 +118,22 @@ def main(tmp_dir: str) -> None:
     os.makedirs(run_dir3, exist_ok=True)
     state3 = training_loop(
         run_dir=run_dir3, data=zip_path, gcfg=TINY, batch_size=batch,
-        batch_gpu=1, total_kimg=1000, kimg_per_tick=1,
+        batch_gpu=1, total_kimg=1000, kimg_per_tick=0.02,
         network_snapshot_ticks=10_000, image_snapshot_ticks=None,
         abort_fn=abort_fn,
     )
-    assert int(np.asarray(state3.step)) < 1000, "abort_fn ignored"
-    # The tick-0 snapshot always exists; the abort must add a LATER one
-    # (done-path snapshot at the abort tick's nimg).
-    snaps3 = sorted(f for f in os.listdir(run_dir3)
-                    if f.startswith("network-snapshot-")
-                    and not f.endswith(".json"))
-    assert snaps3 and snaps3[-1] != "network-snapshot-000000", (
-        f"aborted run wrote no final snapshot: {snaps3}")
+    steps3 = int(np.asarray(state3.step))
+    assert 0 < steps3 < 50, f"abort_fn ignored (ran {steps3} steps)"
+    # The done-path snapshot overwrites the tick-0 one (same sub-kimg
+    # name); its step counter proves it was written AT the abort, not
+    # at tick 0.
+    from layoutdetr_tpu.utils.checkpoint import restore_checkpoint
+
+    snap3 = restore_checkpoint(
+        os.path.join(run_dir3, "network-snapshot-000000"), target=state3)
+    assert int(np.asarray(snap3.step)) == steps3, (
+        f"final snapshot step {int(np.asarray(snap3.step))} != {steps3}; "
+        "abort did not write a done-path snapshot")
     print("TRAIN_LOOP_E2E OK")
 
 
