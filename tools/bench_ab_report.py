@@ -30,20 +30,46 @@ def load(path):
     return rows
 
 
-def pairs(rows):
+def _minutes(ts):
+    """HH:MM:SS -> minutes since midnight (None if unparseable)."""
+    try:
+        h, m, s = ts.split(":")
+        return int(h) * 60 + int(m) + int(s) / 60.0
+    except Exception:
+        return None
+
+
+def _within(ts_a, ts_b, max_min):
+    a, b = _minutes(ts_a), _minutes(ts_b)
+    if a is None or b is None:
+        return True  # unstamped legacy rows: keep old behavior
+    d = abs(a - b)
+    return min(d, 24 * 60 - d) <= max_min  # midnight wrap
+
+
+def pairs(rows, max_bracket_min=8.0):
     """(variant_tag, variant_sustained, bracket_mean, bracket_spread) per
-    variant run with a default on both sides."""
+    variant run with a default on both sides. Brackets farther than
+    ``max_bracket_min`` from the variant are discarded: load() drops
+    failed runs, so nearest-by-index could otherwise pair against a
+    default hours away in a different farm-load regime (advisor r4)."""
     out = []
-    for i, (_, tag, sust, _) in enumerate(rows):
+    for i, (ts, tag, sust, _) in enumerate(rows):
         if tag == "default":
             continue
-        before = next(((t, s) for t, s in ((rows[j][1], rows[j][2])
-                       for j in range(i - 1, -1, -1)) if t == "default"), None)
-        after = next(((t, s) for t, s in ((rows[j][1], rows[j][2])
-                      for j in range(i + 1, len(rows))) if t == "default"), None)
+        before = next(((t, s) for rt, t, s in ((rows[j][0], rows[j][1], rows[j][2])
+                       for j in range(i - 1, -1, -1))
+                       if t == "default" and _within(ts, rt, max_bracket_min)), None)
+        after = next(((t, s) for rt, t, s in ((rows[j][0], rows[j][1], rows[j][2])
+                      for j in range(i + 1, len(rows)))
+                      if t == "default" and _within(ts, rt, max_bracket_min)), None)
         if before and after:
             lo, hi = sorted((before[1], after[1]))
             out.append((tag, sust, (lo + hi) / 2.0, (hi - lo) / ((lo + hi) / 2.0)))
+        else:
+            print(f"unbracketed variant run dropped: {ts} {tag} "
+                  f"(no default within {max_bracket_min:.0f} min on both sides)",
+                  file=sys.stderr)
     return out
 
 
@@ -51,11 +77,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("tsv")
     ap.add_argument("--markdown", action="store_true")
+    ap.add_argument("--max-bracket-min", type=float, default=8.0,
+                    help="discard brackets whose defaults are farther than "
+                         "this many minutes from the variant run")
     args = ap.parse_args()
     rows = load(args.tsv)
     defaults = [s for _, t, s, _ in rows if t == "default"]
     per_tag = {}
-    for tag, sust, mean, spread in pairs(rows):
+    for tag, sust, mean, spread in pairs(rows, args.max_bracket_min):
         per_tag.setdefault(tag, []).append((sust / mean, spread))
     if not per_tag:
         print("no bracketed variant runs found", file=sys.stderr)

@@ -48,8 +48,12 @@ if [ -n "${STAB_RESUME:-}" ]; then
 fi
 
 MAX_SECS="$(awk -v h="$MAX_HOURS" 'BEGIN{printf "%d", h*3600}')"  # fractional hours OK
-echo $$ > /tmp/stab_train.pid  # exec below keeps this pid for train.py
-exec timeout --signal=TERM "$MAX_SECS" python train.py \
+# exec keeps $$ for the GNU `timeout` wrapper (NOT train.py itself);
+# timeout forwards TERM to train.py and --kill-after escalates the
+# whole thing if the trainer ignores it. stop_stability.sh's own
+# SIGKILL escalation therefore targets the process GROUP.
+echo $$ > /tmp/stab_train.pid
+exec timeout --signal=TERM --kill-after=180 "$MAX_SECS" python train.py \
   --outdir runs_stability \
   --data runs_stability/data/train.zip \
   --batch 16 --bf16 \

@@ -21,6 +21,10 @@ for _ in $(seq 1 60); do
   kill -0 "$PID" 2>/dev/null || { echo "stopped."; rm -f "$PIDFILE"; exit 0; }
   sleep 2
 done
-echo "still alive after 120 s; sending SIGKILL"
-kill -KILL "$PID" 2>/dev/null || true
+echo "still alive after 120 s; sending SIGKILL to the process group"
+# The pidfile records the GNU `timeout` wrapper (run_stability.sh execs
+# `timeout ... python train.py`). timeout setpgid()s itself, so killing
+# only $PID would orphan train.py, which keeps contending for the chip —
+# the exact failure this script exists to prevent. Kill the group.
+kill -KILL -- "-$PID" 2>/dev/null || kill -KILL "$PID" 2>/dev/null || true
 rm -f "$PIDFILE"
