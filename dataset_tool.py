@@ -96,8 +96,13 @@ def drop_covered_elements(elements):
     return kept
 
 
-def process_page(json_path: Path, inpaint_aug: bool):
-    """One png+json page -> sample dict or None (reference :122-241)."""
+def page_metadata(json_path: Path):
+    """Metadata-only pass over one png+json page -> sample dict or None
+    (reference :122-241 filtering semantics). Reads ONLY the json and
+    the PNG header (PIL.Image.open is lazy — no pixel decode), so
+    filtering + the 90/10 split scale to thousands of pages without
+    holding any pixels. ``xyxy`` (sorted pixel boxes) rides along for
+    the image pass and is stripped before writing non_image.json."""
     page_img = PIL.Image.open(str(json_path).replace(".json", ".png"))
     w_page, h_page = page_img.size
     with json_path.open() as f:
@@ -109,13 +114,7 @@ def process_page(json_path: Path, inpaint_aug: bool):
     if len(elements) == 0 or len(elements) > MAX_ELEMENTS:
         return None
 
-    page = np.array(page_img)
-    if page.ndim == 2:
-        page = np.stack([page] * 3, axis=2)
-    elif page.shape[2] == 4:
-        page = page[:, :, :3]
-
-    bboxes, labels, texts, patches, patches_orig, patch_masks = [], [], [], [], [], []
+    bboxes, labels, texts, xyxy = [], [], [], []
     for e in elements:
         x1, y1, x2, y2 = e["xyxy_word_fit"]
         bboxes.append([
@@ -124,9 +123,34 @@ def process_page(json_path: Path, inpaint_aug: bool):
         ])
         labels.append(LABEL2INDEX[e["label"]])
         texts.append(e["str"])
-        crop = page[int(y1):int(y2), int(x1):int(x2)]
+        xyxy.append([int(x1), int(y1), int(x2), int(y2)])
+
+    order = lexicographic_sort_idx(bboxes)
+    pick = lambda xs: [xs[i] for i in order]
+    attr = {"name": json_path.name, "width": w_page, "height": h_page,
+            "num_bbox_labels": len(LABEL_LIST), "filtered": filtered,
+            "has_canvas_element": False}
+    return dict(
+        attr=attr, bboxes=pick(bboxes), labels=pick(labels), texts=pick(texts),
+        xyxy=pick(xyxy), page_label=None,
+    )
+
+
+def page_images(json_path: Path, meta: dict, inpaint_aug: bool):
+    """Pixel pass for one already-filtered page: ONE full page decode ->
+    per-element crops + 1024^2 centered originals/masks + background
+    (reference :210-226)."""
+    page = np.array(PIL.Image.open(str(json_path).replace(".json", ".png")))
+    if page.ndim == 2:
+        page = np.stack([page] * 3, axis=2)
+    elif page.shape[2] == 4:
+        page = page[:, :, :3]
+
+    patches, patches_orig, patch_masks = [], [], []
+    for x1, y1, x2, y2 in meta["xyxy"]:
+        crop = page[y1:y2, x1:x2]
         patches.append(crop)
-        h, w = int(y2) - int(y1), int(x2) - int(x1)
+        h, w = y2 - y1, x2 - x1
         orig = np.zeros((1024, 1024, 3), page.dtype)
         orig[512 - h // 2:512 + h - h // 2, 512 - w // 2:512 + w - w // 2] = crop
         patches_orig.append(orig)
@@ -141,22 +165,29 @@ def process_page(json_path: Path, inpaint_aug: bool):
         PIL.Image.open(bg_path).resize((1024, 1024), resample=PIL.Image.BILINEAR)
     )
     assert background.ndim == 3 and background.shape[2] == 3
+    return dict(patches=patches, patches_orig=patches_orig,
+                patch_masks=patch_masks, background_orig=background)
 
-    order = lexicographic_sort_idx(bboxes)
-    pick = lambda xs: [xs[i] for i in order]
-    attr = {"name": json_path.name, "width": w_page, "height": h_page,
-            "num_bbox_labels": len(LABEL_LIST), "filtered": filtered,
-            "has_canvas_element": False}
-    return dict(
-        attr=attr, bboxes=pick(bboxes), labels=pick(labels), texts=pick(texts),
-        patches=pick(patches), patches_orig=pick(patches_orig),
-        patch_masks=pick(patch_masks), background_orig=background, page_label=None,
-    )
+
+def process_page(json_path: Path, inpaint_aug: bool):
+    """One png+json page -> full sample dict or None (metadata + pixels;
+    kept for tests/back-compat — convert_dataset streams the two passes
+    separately so page pixels never accumulate in RAM)."""
+    meta = page_metadata(json_path)
+    if meta is None:
+        return None
+    out = dict(meta)
+    out.update(page_images(json_path, meta, inpaint_aug))
+    return out
+
+
+_PNG_COMPRESS = 0  # reference parity (dataset_tool.py:333 compress_level=0)
 
 
 def _png(arr, mode="RGB") -> bytes:
     buf = io.BytesIO()
-    PIL.Image.fromarray(arr, mode).save(buf, format="png", compress_level=0, optimize=False)
+    PIL.Image.fromarray(arr, mode).save(buf, format="png",
+                                        compress_level=_PNG_COMPRESS, optimize=False)
     return buf.getvalue()
 
 
@@ -165,17 +196,32 @@ def _png(arr, mode="RGB") -> bytes:
 @click.option("--dest", required=True, metavar="PATH")
 @click.option("--inpaint-aug", is_flag=True, default=False)
 @click.option("--max-samples", type=int, default=None)
-def convert_dataset(source: str, dest: str, inpaint_aug: bool, max_samples: Optional[int]):
+@click.option("--png-compress", type=click.IntRange(min=0, max=9), default=0,
+              show_default=True,
+              help="PNG compress_level for the output zips. 0 = byte-layout "
+                   "parity with the reference's uncompressed PNGs "
+                   "(dataset_tool.py:333); higher trades encode time for "
+                   "~10-50x smaller archives (the 1024^2 patch_orig/mask "
+                   "planes are mostly zeros). Loaders read either.")
+def convert_dataset(source: str, dest: str, inpaint_aug: bool,
+                    max_samples: Optional[int], png_compress: int = 0):
+    global _PNG_COMPRESS
+    _PNG_COMPRESS = png_compress
     json_files = sorted(Path(source).rglob("png_json_gt/**/*.json")) or sorted(
         Path(source).rglob("*.json"))
     if max_samples is not None:
         json_files = json_files[:max_samples]
 
+    # Pass 1 — metadata + filtering only (json + PNG headers): decides
+    # the 90/10 split without decoding a single page. Pass 2 streams
+    # each page's pixels straight into the zip, so peak RAM is one page
+    # regardless of dataset size (the reference iterates the source
+    # twice too, dataset_tool.py:315-326 — but decodes in both passes).
     processed = []
     for jf in json_files:
-        sample = process_page(jf, inpaint_aug)
-        if sample is not None:
-            processed.append((jf, sample))
+        meta = page_metadata(jf)
+        if meta is not None:
+            processed.append((jf, meta))
     split = int(len(processed) * 0.90)
     os.makedirs(dest, exist_ok=True)
 
@@ -190,11 +236,12 @@ def convert_dataset(source: str, dest: str, inpaint_aug: bool, max_samples: Opti
         meta.append([archive_fname, dict(attr=sample["attr"], bboxes=sample["bboxes"],
                                          labels=sample["labels"], texts=sample["texts"],
                                          page_label=sample["page_label"])])
-        for i, patch in enumerate(sample["patches"]):
+        pix = page_images(jf, sample, inpaint_aug)
+        for i, patch in enumerate(pix["patches"]):
             zf.writestr(f"{archive_fname}_{i}_patch.png", _png(patch))
-            zf.writestr(f"{archive_fname}_{i}_patch_orig.png", _png(sample["patches_orig"][i]))
-            zf.writestr(f"{archive_fname}_{i}_patch_mask.png", _png(sample["patch_masks"][i], "L"))
-        zf.writestr(f"{archive_fname}_background_orig.png", _png(sample["background_orig"]))
+            zf.writestr(f"{archive_fname}_{i}_patch_orig.png", _png(pix["patches_orig"][i]))
+            zf.writestr(f"{archive_fname}_{i}_patch_mask.png", _png(pix["patch_masks"][i], "L"))
+        zf.writestr(f"{archive_fname}_background_orig.png", _png(pix["background_orig"]))
 
     zf_train.writestr("non_image.json", json.dumps({"samples": meta_train}))
     zf_val.writestr("non_image.json", json.dumps({"samples": meta_val}))

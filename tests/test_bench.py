@@ -8,6 +8,11 @@ import os
 import subprocess
 import sys
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # bench.py CLI smoke compiles, ~2-11 min
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -136,6 +136,7 @@ def test_check_replica_consistency():
     check_replica_consistency({"w": sharded})
 
 
+@pytest.mark.slow
 def test_tensor_parallel_mesh_step():
     """2-D (data, model) mesh: TP param shardings (Megatron column/row
     layout over the BERT + transformer-FFN kernels) compile and run one

@@ -67,6 +67,7 @@ def test_discriminator_hoisted_text_feat_matches_inline():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_sharded_flash_text_feature_matches_xla():
     """Multi-device flash path (shard_map over 'data' + Pallas kernel in
     interpret mode) must match the GSPMD XLA attention path — this is
@@ -106,6 +107,7 @@ def test_sharded_flash_text_feature_matches_xla():
     np.testing.assert_allclose(tp_out, ref, atol=3e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_hoisted_train_step_runs_and_updates():
     from layoutdetr_tpu.models.discriminator import Discriminator
     from layoutdetr_tpu.training.optimizers import (

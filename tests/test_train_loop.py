@@ -13,6 +13,11 @@ import subprocess
 import sys
 
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full train-step subprocess compile, ~8-13 min
+
 def test_training_loop_grad_accum_ada_and_resume(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)

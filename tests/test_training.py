@@ -32,6 +32,7 @@ def _models_and_state():
     return g, d, tx_g, tx_d, state, b
 
 
+@pytest.mark.slow
 def test_train_step_updates_params_and_freezes():
     from layoutdetr_tpu.training.train_step import make_train_step
 
@@ -69,6 +70,7 @@ def test_train_step_updates_params_and_freezes():
     assert max(diffs) >= 0  # EMA tree structurally aligned
 
 
+@pytest.mark.slow
 def test_ema_freeze_labels_is_pure_noop():
     """ema_freeze_labels skips the EMA lerp on frozen subtrees — an HBM
     optimization only: frozen params never move (optimizer mask), so the
@@ -109,6 +111,7 @@ def test_ema_freeze_labels_is_pure_noop():
     assert n_frozen > 0
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_deterministic_terms():
     """grad_accum=2 runs and produces finite stats; the data-dependent
     deterministic loss terms (e.g. Dreal on real boxes) match the
@@ -139,6 +142,7 @@ def test_grad_accum_matches_deterministic_terms():
                                float(stats1["Loss/scores/real"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_reg_steps_run_and_update():
     """Gpl and Dr1 lazy-regularization steps execute and move params."""
     from layoutdetr_tpu.training.loss import LossWeights
@@ -166,6 +170,7 @@ def test_reg_steps_run_and_update():
     assert old.shape == new.shape
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     """Run the driver's multichip dryrun exactly as the driver does: in a
     fresh subprocess. In-process at the end of a long suite, the 8

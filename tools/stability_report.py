@@ -160,11 +160,18 @@ def plot(run_dir, out_png):
     adv = [("Loss/D/loss_Dreal", "D real", _BLUE),
            ("Loss/D/loss_Dgen", "D gen", _ORANGE),
            ("Loss/G/loss_gen", "G adv", _AQUA)]
+    # The round-4 74-kimg run ended with the UNCONDITIONAL D starting to
+    # win (Ggen_uncond +70%, signs/fake drifting to -0.4, VERDICT r4
+    # weak-4); give that trend its own combined panel so a longer run
+    # shows at a glance whether it re-equilibrates or diverges.
+    uncond = [("Loss/G/loss_Ggen_uncond", "G uncond adv", _BLUE),
+              ("Loss/signs/fake", "signs/fake (D side)", _ORANGE)]
+    have_uncond = any(k in series for k, _, _ in uncond)
     solo_keys = [k for k in sorted(series)
                  if k.startswith("Loss/") and k not in {a[0] for a in adv}
                  and len(series[k]) >= 2]
-    panels = (1 + len(solo_keys) + (1 if sec_per_kimg else 0)
-              + len(metrics))
+    panels = (1 + (1 if have_uncond else 0) + len(solo_keys)
+              + (1 if sec_per_kimg else 0) + len(metrics))
     ncols = 3
     nrowp = (panels + ncols - 1) // ncols
     fig, axes = plt.subplots(nrowp, ncols, figsize=(4.2 * ncols, 2.9 * nrowp),
@@ -188,6 +195,15 @@ def plot(run_dir, out_png):
             ax.plot(xs, ys, color=color, linewidth=1.8, label=label)
     ax.legend(fontsize=7, frameon=False, labelcolor=_INK2)
     style(ax, "adversarial balance (vs kimg)")
+
+    if have_uncond:
+        ax = axes[i]; i += 1
+        for key, label, color in uncond:
+            if key in series:
+                xs, ys = zip(*series[key])
+                ax.plot(xs, ys, color=color, linewidth=1.8, label=label)
+        ax.legend(fontsize=7, frameon=False, labelcolor=_INK2)
+        style(ax, "uncond-D trend (r4 watch item)")
 
     for k in solo_keys:
         ax = axes[i]; i += 1

@@ -145,7 +145,8 @@ def parse_comma_separated_list(s):
 # --- Reference-CLI compatibility flags (SURVEY.md §2.10). These are
 # parsed-but-unwired in the reference too (train.py:148-194: --cond,
 # --mirror, --freezed, --cbase, --cmax, --map-depth, --mbstd-group,
-# --fp32 handling commented out, --nobench, --workers; the G/D
+# --fp32 handling commented out, --nobench; --workers IS wired here,
+# to the prefetch worker count; the G/D
 # f_dim/num_heads/num_layers ctor args are never consumed by
 # networks_detr). Accepted here as documented no-ops so reference
 # command lines run unchanged; --gpus maps to --chips.
@@ -159,7 +160,11 @@ def parse_comma_separated_list(s):
 @click.option("--map-depth", type=click.IntRange(min=1), default=None, help="No-op (reference parity)")
 @click.option("--mbstd-group", type=click.IntRange(min=0), default=4, help="No-op (reference parity)")
 @click.option("--nobench", type=bool, default=False, help="No-op (reference parity)")
-@click.option("--workers", type=click.IntRange(min=1), default=8, help="No-op (reference parity)")
+@click.option("--workers", type=click.IntRange(min=0), default=None,
+              help="Prefetch worker processes (reference DataLoader num_workers, "
+                   "training_loop.py:113-114). 0 = single in-process prefetch "
+                   "thread; default auto: min(8, cores), or 0 on a 1-core host "
+                   "where forked workers only add IPC overhead")
 @click.option("--g-f-dim", type=click.IntRange(min=1), default=256, help="No-op (reference parity)")
 @click.option("--g-num-heads", type=click.IntRange(min=1), default=4, help="No-op (reference parity)")
 @click.option("--g-num-layers", type=click.IntRange(min=1), default=8, help="No-op (reference parity)")
@@ -376,6 +381,7 @@ def main(**opts):
             init_g=opts.init_g,
             init_d=opts.init_d,
             model_parallel=opts.model_parallel,
+            num_workers=opts.workers,
             max_steps=opts.max_steps,
             aug=opts.aug,
             aug_p=opts.aug_p,
