@@ -192,6 +192,7 @@ def training_loop(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,
     num_workers: Optional[int] = None,
+    load_patches: bool = False,
 ):
     """Run GAN training. Returns the final GANTrainState (host copy)."""
     start_time = time.time()
@@ -209,7 +210,8 @@ def training_loop(
 
     dataset = LayoutDataset(data, background_size=gcfg.background_size,
                             max_text_length=gcfg.max_text_length,
-                            text_len_clip=gcfg.text_len_table)
+                            text_len_clip=gcfg.text_len_table,
+                            load_patches=load_patches)
     # Decode each sample ONCE up front (VERDICT r4 weak-1: the chip sat
     # ~94% idle behind per-epoch re-decodes). Warming BEFORE the loader
     # fork means worker processes share the cache copy-on-write.
@@ -399,6 +401,14 @@ def training_loop(
 
     while True:
         host_batch = next(loader)
+        if load_patches:
+            # The step consumes bbox_patch for its SHAPE only (reference
+            # networks_detr.py:140; the pixel loss is commented out,
+            # loss.py:188-190) — decode + collate exercise the host I/O
+            # path, but ~1.8 GB/batch of patch pixels must not ride the
+            # PCIe/tunnel to the device.
+            for k in ("patches", "patches_orig", "patch_masks"):
+                host_batch.pop(k, None)
         if aug != "noaug":
             host_batch["aug_p"] = np.float32(cur_aug_p)
         batch = shard_batch(host_batch, mesh)

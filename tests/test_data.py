@@ -52,6 +52,23 @@ def test_dataset_patches_opt_in(tmp_path):
     assert item["patch_masks"].shape[0] == 9
 
 
+def test_dataset_patches_with_cache(tmp_path):
+    """load_patches composes with the decoded-sample cache: backgrounds/
+    tokens come from the cache, patch pixels are decoded per call (never
+    cached — class doc), and collate stacks all three patch keys (the
+    train.py --load-patches rehearsal path)."""
+    zip_path = make_synthetic_zip(str(tmp_path / "train.zip"), num_samples=2, image_size=32)
+    ds = LayoutDataset(zip_path, background_size=32, load_patches=True, cache=True)
+    ds.warm_cache()
+    assert len(ds._cache) == 2 and "patches" not in next(iter(ds._cache.values()))
+    batch = ds.collate([0, 1])
+    assert batch["patches"].shape == (2, 9, 256, 256, 3)
+    assert batch["patches_orig"].shape[0] == 2
+    assert batch["patch_masks"].shape[0] == 2
+    nc = LayoutDataset(zip_path, background_size=32, load_patches=True, cache=False)
+    np.testing.assert_allclose(batch["background"], nc.collate([0, 1])["background"])
+
+
 def test_prefetch_loader_propagates_worker_death(tmp_path):
     """A collate failure (corrupt zip entry / bad PNG) must surface in
     __next__ within one batch, not hang the train loop forever on

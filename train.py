@@ -165,6 +165,15 @@ def parse_comma_separated_list(s):
                    "training_loop.py:113-114). 0 = single in-process prefetch "
                    "thread; default auto: min(8, cores), or 0 on a 1-core host "
                    "where forked workers only add IPC overhead")
+@click.option("--load-patches/--no-load-patches", "load_patches", default=False,
+              show_default=True,
+              help="Decode per-element patch/patch_orig/mask PNGs every batch "
+                   "(the reference dataset always does, "
+                   "dataset_layoutganpp.py:281-328, ~50 decodes/sample). The "
+                   "active losses never read the pixels (reference "
+                   "loss.py:188-190 im_rec is commented out), so this is off "
+                   "by default; turn it on to exercise/measure the full host "
+                   "I/O path at real data volume")
 @click.option("--g-f-dim", type=click.IntRange(min=1), default=256, help="No-op (reference parity)")
 @click.option("--g-num-heads", type=click.IntRange(min=1), default=4, help="No-op (reference parity)")
 @click.option("--g-num-layers", type=click.IntRange(min=1), default=8, help="No-op (reference parity)")
@@ -382,6 +391,7 @@ def main(**opts):
             init_d=opts.init_d,
             model_parallel=opts.model_parallel,
             num_workers=opts.workers,
+            load_patches=opts.load_patches,
             max_steps=opts.max_steps,
             aug=opts.aug,
             aug_p=opts.aug_p,
