@@ -31,11 +31,19 @@ ROOT="${REH_ROOT:-/tmp/prod_rehearsal}"
 OUT=docs/bench_r5
 mkdir -p "$OUT"
 
+# GNU time is absent on some hosts (this VM); tools/peakrss.py prints
+# the same "Maximum resident set size (kbytes)" line the greps expect.
+if [ -x /usr/bin/time ]; then
+  MTIME="/usr/bin/time -v"
+else
+  MTIME="python tools/peakrss.py --"
+fi
+
 mark() { echo "[rehearsal $(date -u +%H:%M:%S)] $*" | tee -a "$OUT/rehearsal_summary.txt"; }
 
 if [ ! -f "$ROOT/source/png_json_gt/page$(printf %06d $((PAGES - 1))).json" ]; then
   mark "generating $PAGES-page production-shaped source -> $ROOT/source"
-  /usr/bin/time -v python tools/make_production_source.py \
+  $MTIME python tools/make_production_source.py \
     --out "$ROOT/source" --pages "$PAGES" \
     > "$OUT/rehearsal_source.log" 2>&1 || { mark "source generation FAILED"; exit 1; }
   grep -E "Maximum resident|done:" "$OUT/rehearsal_source.log" | tail -2 | tee -a "$OUT/rehearsal_summary.txt"
@@ -43,7 +51,7 @@ fi
 
 if [ ! -f "$ROOT/zips/train.zip" ]; then
   mark "dataset_tool.py streaming convert -> $ROOT/zips"
-  /usr/bin/time -v python dataset_tool.py --source "$ROOT/source" \
+  $MTIME python dataset_tool.py --source "$ROOT/source" \
     --dest "$ROOT/zips" --png-compress 3 \
     > "$OUT/rehearsal_convert.log" 2>&1 || { mark "convert FAILED"; exit 1; }
   grep -E "Maximum resident|Elapsed" "$OUT/rehearsal_convert.log" | tee -a "$OUT/rehearsal_summary.txt"
@@ -52,7 +60,7 @@ fi
 
 mark "train.py $KIMG kimg with --load-patches (full host I/O path)"
 rm -rf "$ROOT/runs"
-/usr/bin/time -v timeout 5400 python train.py \
+$MTIME timeout 5400 python train.py \
   --outdir "$ROOT/runs" \
   --data "$ROOT/zips/train.zip" \
   --batch 16 --bf16 --kimg "$KIMG" --tick 1 --snap 100 \
