@@ -94,6 +94,25 @@ def init_models(gcfg: GeneratorConfig, dataset_sample: dict, batch_gpu: int, see
 _SNAPSHOT_JIT_CACHE: dict = {}
 
 
+def _fetch_stats_group(items, packed_keys):
+    """Fetch several steps' packed stats vectors (device feed) in ONE
+    device_get — the transfers are issued together, so a remote-attached
+    device pays ~one round trip per group instead of one per step. Each
+    item is a float32 vector or (vector, reg_stats_dict)."""
+    host = jax.device_get(list(items))
+    out = []
+    for it in host:
+        extra = {}
+        if isinstance(it, tuple):
+            vec, extra = it
+        else:
+            vec = it
+        d = dict(zip(packed_keys, np.asarray(vec, np.float32).tolist()))
+        d.update({k: float(np.asarray(v)) for k, v in extra.items()})
+        out.append(d)
+    return out
+
+
 def _cpu_mem_gb() -> float:
     """Peak RSS of this process in GB (reference status-line 'cpumem',
     training_loop.py:353)."""
@@ -193,6 +212,7 @@ def training_loop(
     model_parallel: int = 1,
     num_workers: Optional[int] = None,
     load_patches: bool = False,
+    device_feed="auto",
 ):
     """Run GAN training. Returns the final GANTrainState (host copy)."""
     start_time = time.time()
@@ -212,24 +232,50 @@ def training_loop(
                             max_text_length=gcfg.max_text_length,
                             text_len_clip=gcfg.text_len_table,
                             load_patches=load_patches)
-    # Decode each sample ONCE up front (VERDICT r4 weak-1: the chip sat
-    # ~94% idle behind per-epoch re-decodes). Warming BEFORE the loader
-    # fork means worker processes share the cache copy-on-write.
-    dataset.warm_cache(verbose=is_chief)
-    if num_workers is None:
-        # Worker processes only help when there are spare cores; on a
-        # 1-core host they just add IPC overhead on top of the thread.
-        cores = os.cpu_count() or 1
-        num_workers = min(8, cores) if cores > 1 else 0
+    # Device-resident feed (data/device_cache.py): when the model-visible
+    # dataset fits HBM, upload it ONCE and ship only sampler indices per
+    # step — the round-5 campaign showed per-step h2d traffic, not host
+    # decode, bounds real training on remote-attached TPUs. Patches stay
+    # host-side (shape-only consumers), so --load-patches keeps the host
+    # loader.
+    from layoutdetr_tpu.data.device_cache import should_enable
+
+    if load_patches and device_feed in (True, "on"):
+        raise ValueError("device_feed='on' is incompatible with load_patches "
+                         "(patch pixels must not ride to the device)")
+    use_device_feed = (not load_patches) and should_enable(dataset, device_feed)
+    local_batch = batch_size // jax.process_count()
     sampler = InfiniteSampler(len(dataset), rank=jax.process_index(),
                               num_replicas=jax.process_count(), seed=random_seed)
-    loader = PrefetchLoader(dataset, batch_size // jax.process_count(), sampler,
-                            num_workers=num_workers)
+    dcache = None
+    loader = None
+    if use_device_feed:
+        from layoutdetr_tpu.data.device_cache import DeviceDatasetCache
+
+        dcache = DeviceDatasetCache(dataset, mesh)
+        sampler_it = iter(sampler)
+    else:
+        # Decode each sample ONCE up front (VERDICT r4 weak-1: the chip
+        # sat ~94% idle behind per-epoch re-decodes). Warming BEFORE the
+        # loader fork means worker processes share the cache
+        # copy-on-write.
+        dataset.warm_cache(verbose=is_chief)
+        if num_workers is None:
+            # Worker processes only help when there are spare cores; on a
+            # 1-core host they just add IPC overhead on top of the thread.
+            cores = os.cpu_count() or 1
+            num_workers = min(8, cores) if cores > 1 else 0
+        loader = PrefetchLoader(dataset, local_batch, sampler,
+                                num_workers=num_workers)
 
     if is_chief:
+        if use_device_feed:
+            feed_desc = f"device feed ({dcache.nbytes / 2**20:.0f} MB in HBM)"
+        else:
+            feed_desc = (f"cache {'on' if dataset._cache is not None else 'off'}, "
+                         f"{num_workers} prefetch workers")
         print(f"Dataset: {len(dataset)} samples, {dataset.num_bbox_labels} labels"
-              f" (cache {'on' if dataset._cache is not None else 'off'},"
-              f" {num_workers} prefetch workers)")
+              f" ({feed_desc})")
         print(f"Mesh: {n_dev} devices x {jax.process_count()} processes")
 
     g, d, params_g, params_d, example = init_models(
@@ -336,27 +382,51 @@ def training_loop(
         from layoutdetr_tpu.training.augment import AugmentConfig
 
         aug_cfg = AugmentConfig()
-    step_fn = jax.jit(
-        make_train_step(
-            g.apply, d.apply, tx_g, tx_d, weights=loss_weights,
-            batch_size=batch_size, ema_rampup=ema_rampup,
-            z_dim=gcfg.z_dim, max_elements=gcfg.max_elements,
-            grad_accum=grad_accum,
-            # Flash (Pallas) attention on any TPU mesh: multi-device
-            # meshes run the fused kernel per data shard via shard_map
-            # (TP meshes fall back to XLA attention — see
-            # make_text_feature_fn).
-            text_feature_fn=make_text_feature_fn(
-                gcfg, dtype or np.float32,
-                flash=(jax.default_backend() == "tpu"), mesh=mesh),
-            share_text_encoder=share_te,
-            aug_cfg=aug_cfg,
-            # Skip the EMA HBM sweep over frozen subtrees (identity there).
-            ema_freeze_labels=freeze_mask(params_g, G_FROZEN_SUBSTRINGS),
-        ),
-        donate_argnums=(0,),
-        compiler_options=copts,
+    raw_step = make_train_step(
+        g.apply, d.apply, tx_g, tx_d, weights=loss_weights,
+        batch_size=batch_size, ema_rampup=ema_rampup,
+        z_dim=gcfg.z_dim, max_elements=gcfg.max_elements,
+        grad_accum=grad_accum,
+        # Flash (Pallas) attention on any TPU mesh: multi-device
+        # meshes run the fused kernel per data shard via shard_map
+        # (TP meshes fall back to XLA attention — see
+        # make_text_feature_fn).
+        text_feature_fn=make_text_feature_fn(
+            gcfg, dtype or np.float32,
+            flash=(jax.default_backend() == "tpu"), mesh=mesh),
+        share_text_encoder=share_te,
+        aug_cfg=aug_cfg,
+        # Skip the EMA HBM sweep over frozen subtrees (identity there).
+        ema_freeze_labels=freeze_mask(params_g, G_FROZEN_SUBSTRINGS),
     )
+    gather_jit = None
+    if use_device_feed:
+        import jax.numpy as jnp
+
+        from layoutdetr_tpu.data.device_cache import gather_batch
+
+        # The d2h side of the feed fix: the step's ~30 scalar stats come
+        # back as ONE packed float32 vector (one transfer) instead of one
+        # tiny transfer per stat. Key order is fixed at trace time.
+        stats_keys: list = []
+        aug_enabled = aug != "noaug"
+
+        def _cached_step(state, cache, idx, rng, aug_p):
+            batch = gather_batch(cache, idx)
+            if aug_enabled:
+                batch["aug_p"] = aug_p
+            new_state, stats = raw_step(state, batch, rng)
+            keys = sorted(stats)
+            if not stats_keys:
+                stats_keys.extend(keys)
+            vec = jnp.stack([jnp.asarray(stats[k], jnp.float32) for k in keys])
+            return new_state, vec
+
+        step_fn = jax.jit(_cached_step, donate_argnums=(0,),
+                          compiler_options=copts)
+        gather_jit = jax.jit(gather_batch, compiler_options=copts)
+    else:
+        step_fn = jax.jit(raw_step, donate_argnums=(0,), compiler_options=copts)
 
     # Lazy regularization steps (reference phases Greg/Dreg,
     # training_loop.py:184-197): compiled only when their weights are
@@ -399,40 +469,77 @@ def training_loop(
     elif aug == "fixed":
         cur_aug_p = aug_p
 
-    while True:
-        host_batch = next(loader)
-        if load_patches:
-            # The step consumes bbox_patch for its SHAPE only (reference
-            # networks_detr.py:140; the pixel loss is commented out,
-            # loss.py:188-190) — decode + collate exercise the host I/O
-            # path, but ~1.8 GB/batch of patch pixels must not ride the
-            # PCIe/tunnel to the device.
-            for k in ("patches", "patches_orig", "patch_masks"):
-                host_batch.pop(k, None)
-        if aug != "noaug":
-            host_batch["aug_p"] = np.float32(cur_aug_p)
-        batch = shard_batch(host_batch, mesh)
-        rng, step_rng = jax.random.split(rng)
-        state, stats = step_fn(state, batch, step_rng)
-        if g_reg_fn is not None and batch_idx % g_reg_interval == 0:
-            rng, reg_rng = jax.random.split(rng)
-            state, reg_stats = g_reg_fn(state, batch, reg_rng)
-            stats = dict(stats, **reg_stats)
-        if d_reg_fn is not None and batch_idx % d_reg_interval == 0:
-            rng, reg_rng = jax.random.split(rng)
-            state, reg_stats = d_reg_fn(state, batch, reg_rng)
-            stats = dict(stats, **reg_stats)
-        # Accumulate EVERY step's stats (the reference reports every
-        # batch, training_stats.report in loss.py), but fetch with a
-        # one-step lag: the previous step has finished by the time the
-        # current one is enqueued, so the device_get doesn't stall the
-        # pipeline.
-        if pending_stats is not None:
-            fetched = jax.device_get(pending_stats)
+    # Device-feed stats queue: drained every `stats_fetch_every` steps in
+    # one grouped transfer (also sets the dispatch-pipeline depth — the
+    # drain is the loop's only per-step device sync).
+    pending_q: list = []
+    stats_fetch_every = ada.interval if ada is not None else 16
+
+    def _drain_pending():
+        if not pending_q:
+            return
+        for fetched in _fetch_stats_group(pending_q, stats_keys):
             collector.report_dict(fetched)
             if ada is not None:
                 ada_signs.append(float(fetched["Loss/signs/real"]))
-        pending_stats = stats
+        pending_q.clear()
+
+    while True:
+        if use_device_feed:
+            idxs = [next(sampler_it) for _ in range(local_batch)]
+            idx_dev = dcache.put_indices(idxs)
+            rng, step_rng = jax.random.split(rng)
+            state, stats = step_fn(state, dcache.arrays, idx_dev, step_rng,
+                                   np.float32(cur_aug_p))
+            need_reg_batch = (
+                (g_reg_fn is not None and batch_idx % g_reg_interval == 0)
+                or (d_reg_fn is not None and batch_idx % d_reg_interval == 0))
+            batch = gather_jit(dcache.arrays, idx_dev) if need_reg_batch else None
+        else:
+            host_batch = next(loader)
+            if load_patches:
+                # The step consumes bbox_patch for its SHAPE only
+                # (reference networks_detr.py:140; the pixel loss is
+                # commented out, loss.py:188-190) — decode + collate
+                # exercise the host I/O path, but ~1.8 GB/batch of patch
+                # pixels must not ride the PCIe/tunnel to the device.
+                for k in ("patches", "patches_orig", "patch_masks"):
+                    host_batch.pop(k, None)
+            if aug != "noaug":
+                host_batch["aug_p"] = np.float32(cur_aug_p)
+            batch = shard_batch(host_batch, mesh)
+            rng, step_rng = jax.random.split(rng)
+            state, stats = step_fn(state, batch, step_rng)
+        reg_stats_pending = {}
+        if g_reg_fn is not None and batch_idx % g_reg_interval == 0:
+            rng, reg_rng = jax.random.split(rng)
+            state, reg_stats = g_reg_fn(state, batch, reg_rng)
+            reg_stats_pending.update(reg_stats)
+        if d_reg_fn is not None and batch_idx % d_reg_interval == 0:
+            rng, reg_rng = jax.random.split(rng)
+            state, reg_stats = d_reg_fn(state, batch, reg_rng)
+            reg_stats_pending.update(reg_stats)
+        # Accumulate EVERY step's stats (the reference reports every
+        # batch, training_stats.report in loss.py), but never stall the
+        # device pipeline on them: host feed fetches with a one-step lag;
+        # device feed queues the packed vectors and drains a GROUP per
+        # d2h round trip (aligned to the ADA interval so the controller
+        # sees the same per-4-batch sign cadence as the reference,
+        # training_loop.py:334-338).
+        if use_device_feed:
+            if reg_stats_pending:
+                stats = (stats, reg_stats_pending)
+            pending_q.append(stats)
+            if len(pending_q) >= stats_fetch_every:
+                _drain_pending()
+        else:
+            stats = dict(stats, **reg_stats_pending)
+            if pending_stats is not None:
+                fetched = jax.device_get(pending_stats)
+                collector.report_dict(fetched)
+                if ada is not None:
+                    ada_signs.append(float(fetched["Loss/signs/real"]))
+            pending_stats = stats
         if ada is not None and batch_idx % ada.interval == 0 and ada_signs:
             # Reference cadence: adjust p every 4 batches from the mean
             # sign over the interval (training_loop.py:334-338).
@@ -447,8 +554,10 @@ def training_loop(
             continue
 
         # --- Tick (training_loop.py:341-452) ---
-        if pending_stats is not None:
-            collector.report_dict(pending_stats)
+        if use_device_feed:
+            _drain_pending()
+        elif pending_stats is not None:
+            collector.report_dict(jax.device_get(pending_stats))
             pending_stats = None
         collector.update()
         tick_end_time = time.time()

@@ -174,6 +174,15 @@ def parse_comma_separated_list(s):
                    "loss.py:188-190 im_rec is commented out), so this is off "
                    "by default; turn it on to exercise/measure the full host "
                    "I/O path at real data volume")
+@click.option("--device-feed", type=click.Choice(["auto", "on", "off"]),
+              default="auto", show_default=True,
+              help="Keep the dataset resident in device HBM and feed only "
+                   "sampler indices per step (uint8 backgrounds + token ids, "
+                   "gathered+normalized in-jit). auto: on when the cache fits "
+                   "LAYOUTDETR_DEVICE_CACHE_GB (default 4 GB) and "
+                   "--load-patches is off. Removes the per-step "
+                   "host-to-device batch upload that dominates wall-clock on "
+                   "remote-attached TPUs (docs/BENCH_NOTES.md round 5)")
 @click.option("--g-f-dim", type=click.IntRange(min=1), default=256, help="No-op (reference parity)")
 @click.option("--g-num-heads", type=click.IntRange(min=1), default=4, help="No-op (reference parity)")
 @click.option("--g-num-layers", type=click.IntRange(min=1), default=8, help="No-op (reference parity)")
@@ -392,6 +401,7 @@ def main(**opts):
             model_parallel=opts.model_parallel,
             num_workers=opts.workers,
             load_patches=opts.load_patches,
+            device_feed=opts.device_feed,
             max_steps=opts.max_steps,
             aug=opts.aug,
             aug_p=opts.aug_p,
